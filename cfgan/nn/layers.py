@@ -1,0 +1,269 @@
+"""Core layers (flax.linen) with reference-equivalent semantics.
+
+Covers the full primitive inventory of SURVEY.md section 2.8: Linear, Conv2d,
+ConvTranspose2d, BatchNorm (train/eval), InstanceNorm(affine), spectral norm
+(power iteration as carried state), Embedding label-planes, Dropout, FiLM,
+residual blocks, and the activation set.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cfgan.nn import init as cinit
+
+
+def leaky_relu(x, negative_slope: float = 0.2):
+    return jax.nn.leaky_relu(x, negative_slope)
+
+
+class Linear(nn.Module):
+    """Dense layer with torch-default init (U(+-1/sqrt(fan_in)))."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable | None = None
+    bias_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        kinit = self.kernel_init or cinit.torch_kernel_init
+        kernel = self.param("kernel", kinit, (in_f, self.features))
+        y = x @ kernel
+        if self.use_bias:
+            binit = self.bias_init or cinit.scaled_uniform(in_f)
+            y = y + self.param("bias", binit, (self.features,))
+        return y
+
+
+class Conv(nn.Module):
+    """2-D convolution (NHWC) with torch-default init and torch-style
+    integer padding."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    kernel_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        fan_in = x.shape[-1] * k * k
+        conv = nn.Conv(
+            self.features,
+            (k, k),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init or cinit.torch_kernel_init,
+            bias_init=cinit.scaled_uniform(fan_in),
+        )
+        return conv(x)
+
+
+class ConvTranspose(nn.Module):
+    """2-D transposed convolution matching torch ConvTranspose2d geometry.
+
+    torch output size: (H-1)*stride - 2*padding + kernel.  flax
+    ConvTranspose with padding [(k-1-p, k-1-p)] and no dilation reproduces it;
+    we use lax.conv_transpose via flax with explicit padding numbers.
+    """
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    kernel_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        # torch ConvTranspose2d fan_in (for default init) = out_ch * k * k
+        # (its weight is (in, out, k, k) and torch computes fan_in over dim 1).
+        fan_in = self.features * k * k
+        conv = nn.ConvTranspose(
+            self.features,
+            (k, k),
+            strides=(s, s),
+            padding=[(k - 1 - p, k - 1 - p)] * 2,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init or cinit.torch_kernel_init,
+            bias_init=cinit.scaled_uniform(fan_in),
+            transpose_kernel=True,
+        )
+        return conv(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm matching torch defaults (momentum 0.1 torch == 0.9 flax,
+    eps 1e-5).  Running stats live in the 'batch_stats' collection."""
+
+    use_running_average: bool | None = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+    axis_name: str | None = None  # set for cross-replica (sync) BN
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        return nn.BatchNorm(
+            use_running_average=ura,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            use_scale=self.use_scale,
+            use_bias=self.use_bias,
+            axis_name=self.axis_name,
+        )(x)
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm2d(affine=True) equivalent: per-sample per-channel stats
+    over spatial dims (torch track_running_stats=False default)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):  # NHWC
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", cinit.ones, (x.shape[-1],))
+        bias = self.param("bias", cinit.zeros, (x.shape[-1],))
+        return y * scale + bias
+
+
+def _l2_normalize(v, eps=1e-12):
+    return v / (jnp.linalg.norm(v) + eps)
+
+
+class SpectralLinear(nn.Module):
+    """Linear layer under spectral normalization.
+
+    Matches torch `nn.utils.spectral_norm(nn.Linear(...))`: one power
+    iteration per forward while training (`update_stats=True`), u carried as
+    state in the 'spectral_stats' collection, sigma computed with u/v
+    detached so gradients flow only through the kernel
+    (reference usage: `house models/discriminator.py:9-15`,
+    `moons/models/discriminator.py:10-17`).
+    """
+
+    features: int
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = True):
+        in_f = x.shape[-1]
+        kernel = self.param("kernel", cinit.torch_kernel_init, (in_f, self.features))
+        bias = self.param("bias", cinit.scaled_uniform(in_f), (self.features,))
+
+        u_var = self.variable(
+            "spectral_stats",
+            "u",
+            lambda: _l2_normalize(
+                jax.random.normal(self.make_rng("params"), (self.features,))
+            ),
+        )
+        u = u_var.value
+        if update_stats:
+            # torch power iteration: v = norm(W^T u); u = norm(W v)
+            # with jax kernel K = W^T of shape (in, out):
+            v = _l2_normalize(kernel @ u, self.eps)
+            u = _l2_normalize(v @ kernel, self.eps)
+            if not self.is_initializing() and self.is_mutable_collection(
+                "spectral_stats"
+            ):
+                u_var.value = u
+        else:
+            v = _l2_normalize(kernel @ u, self.eps)
+        u_d = jax.lax.stop_gradient(u)
+        v_d = jax.lax.stop_gradient(v)
+        sigma = jnp.einsum("i,io,o->", v_d, kernel, u_d)
+        return x @ (kernel / sigma) + bias
+
+
+class Embed(nn.Module):
+    """Embedding table; default init N(0,1) like torch nn.Embedding."""
+
+    num_embeddings: int
+    features: int
+    embedding_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self, idx):
+        table = self.param(
+            "embedding",
+            self.embedding_init or cinit.normal(1.0),
+            (self.num_embeddings, self.features),
+        )
+        return jnp.take(table, idx, axis=0)
+
+
+class FiLM(nn.Module):
+    """Feature-wise linear modulation (reference
+    `house models/generator.py:6-16`)."""
+
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, h, cond):
+        g = Linear(self.hidden_dim, name="gamma")(cond)
+        b = Linear(self.hidden_dim, name="beta")(cond)
+        return g * h + b
+
+
+class FiLMResidualBlock(nn.Module):
+    """Tabular residual block: Linear-BN-FiLM-ReLU-Linear-BN-FiLM + skip,
+    with ONE shared FiLM instance used at both sites (the reference reuses
+    `self.film`, `house models/generator.py:27,31-34`)."""
+
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, h, cond, train: bool):
+        film = FiLM(self.hidden_dim, name="film")
+        out = Linear(self.hidden_dim, name="fc1")(h)
+        out = BatchNorm(name="bn1")(out, use_running_average=not train)
+        out = jax.nn.relu(film(out, cond))
+        out = Linear(self.hidden_dim, name="fc2")(out)
+        out = BatchNorm(name="bn2")(out, use_running_average=not train)
+        out = film(out, cond)
+        return h + out
+
+
+class ConvResBlock(nn.Module):
+    """Image residual block with damped residual path: identity + 0.1*out
+    (reference `mnist/models/generator.py:5-22`)."""
+
+    channels: int
+    damping: float = 0.1
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        kinit = cinit.kaiming_normal(self.negative_slope)
+        out = Conv(self.channels, 3, 1, 1, kernel_init=kinit, name="conv1")(x)
+        out = BatchNorm(name="bn1")(out, use_running_average=not train)
+        out = leaky_relu(out, self.negative_slope)
+        out = Conv(self.channels, 3, 1, 1, kernel_init=kinit, name="conv2")(out)
+        out = BatchNorm(name="bn2")(out, use_running_average=not train)
+        return x + self.damping * out
+
+
+class Dropout(nn.Module):
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.Dropout(self.rate, deterministic=not train)(x)

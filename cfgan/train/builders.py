@@ -1,0 +1,280 @@
+"""Wire models + losses + masks into compiled CounteRGAN pipelines.
+
+One builder per flagship family (moons 2-D, MNIST images, KC-house tabular),
+each returning a `CounterGANBundle`: initialized GAN state, the jitted
+per-step function, the scanned epoch runner, and a fused inference-time
+counterfactual function (the serving hot path).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from cfgan.core.config import CounterGANConfig, TabularSchema
+from cfgan.masks.feature import random_feature_mask
+from cfgan.masks.patch import random_patch_mask
+from cfgan.models.classifiers import CNNClassifier, MLPClassifier, TabularClassifier
+from cfgan.models.discriminators import (
+    CondConvDiscriminator,
+    SpectralMLPDiscriminator,
+)
+from cfgan.models.generators import (
+    ImageResidualGenerator,
+    MoonsResidualGenerator,
+    TabularResidualGenerator,
+)
+from cfgan.models.tabular import assemble_residual, build_cat_norm_values
+from cfgan.train.countergan import make_countergan_step, make_epoch_runner
+from cfgan.train.state import GANState, NetState, adam_like_torch
+
+
+@dataclass
+class CounterGANBundle:
+    g_model: Any
+    d_model: Any
+    state: GANState
+    step_fn: Callable
+    epoch_fn: Callable
+    cf_fn: Callable  # (g_variables, x, target, mask, key) -> (x_cf, raw, masked)
+    tx_g: Any
+    tx_d: Any
+    num_classes: int
+
+
+def _init_state(g_model, d_model, g_inputs, d_inputs, cfg, key):
+    kg, kd = jax.random.split(key)
+    g_vars = g_model.init({"params": kg, "gumbel": kg}, *g_inputs, train=False)
+    d_vars = d_model.init({"params": kd}, *d_inputs)
+    tx_g = adam_like_torch(cfg.lr_g)
+    tx_d = adam_like_torch(cfg.lr_d)
+    state = GANState(
+        g=NetState.create(g_vars, tx_g),
+        d=NetState.create(d_vars, tx_d),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, tx_g, tx_d
+
+
+# ------------------------------------------------------------------- moons
+def build_moons_countergan(
+    cfg: CounterGANConfig,
+    clf_model,
+    clf_state,
+    num_classes: int = 3,
+    input_dim: int = 2,
+    seed: int = 42,
+    diagnostics: bool = True,
+):
+    g_model = MoonsResidualGenerator(input_dim=input_dim, hidden_dim=cfg.hidden_dim)
+    d_model = SpectralMLPDiscriminator(
+        hidden_dims=(cfg.hidden_dim, cfg.hidden_dim // 2, cfg.hidden_dim // 2)
+    )
+    x0 = jnp.zeros((2, input_dim))
+    oh0 = jnp.zeros((2, num_classes))
+    state, tx_g, tx_d = _init_state(
+        g_model, d_model, (x0, oh0, x0), (x0, oh0), cfg, jax.random.key(seed)
+    )
+
+    clf_vars = {"params": clf_state.params, **clf_state.stats}
+
+    def g_forward(params, stats, x, t, t_oh, mask, key):
+        (raw, masked), new_stats = g_model.apply(
+            {"params": params, **stats}, x, t_oh, mask, train=True,
+            mutable=["batch_stats"],
+        )
+        return (raw, masked), new_stats
+
+    def d_forward(params, stats, x, t, t_oh, train):
+        if train:
+            scores, new_stats = d_model.apply(
+                {"params": params, **stats}, x, t_oh, update_stats=True,
+                mutable=["spectral_stats"],
+            )
+            return scores, new_stats
+        scores = d_model.apply({"params": params, **stats}, x, t_oh,
+                               update_stats=False)
+        return scores, stats
+
+    def clf_forward(x):
+        return clf_model.apply(clf_vars, x, train=False)
+
+    mask_sampler = lambda key, x: random_feature_mask(
+        key, x.shape[0], x.shape[1], cfg.mask.immutable_idx
+    )
+
+    step_fn = make_countergan_step(
+        cfg=cfg, num_classes=num_classes, g_forward=g_forward,
+        d_forward=d_forward, clf_forward=clf_forward, tx_g=tx_g, tx_d=tx_d,
+        mask_sampler=mask_sampler, diagnostics=diagnostics,
+    )
+
+    @jax.jit
+    def cf_fn(g_variables, x, target, mask, key=None):
+        t_oh = jax.nn.one_hot(target, num_classes, dtype=x.dtype)
+        raw, masked = g_model.apply(g_variables, x, t_oh, mask, train=False)
+        return x + masked, raw, masked
+
+    return CounterGANBundle(
+        g_model, d_model, state, step_fn, make_epoch_runner(step_fn), cf_fn,
+        tx_g, tx_d, num_classes,
+    )
+
+
+# ------------------------------------------------------------------- mnist
+def build_mnist_countergan(
+    cfg: CounterGANConfig,
+    clf_model,
+    clf_state,
+    num_classes: int = 10,
+    image_hw: tuple[int, int] = (28, 28),
+    seed: int = 42,
+    diagnostics: bool = True,
+):
+    g_model = ImageResidualGenerator(
+        image_hw=image_hw,
+        num_classes=num_classes,
+        n_resblocks=cfg.num_res_blocks,
+        residual_scaling=cfg.residual_scaling,
+    )
+    d_model = CondConvDiscriminator(num_classes=num_classes)
+    h, w = image_hw
+    x0 = jnp.zeros((2, h, w, 1))
+    t0 = jnp.zeros((2,), jnp.int32)
+    state, tx_g, tx_d = _init_state(
+        g_model, d_model, (x0, t0, x0), (x0, t0), cfg, jax.random.key(seed)
+    )
+    clf_vars = {"params": clf_state.params, **clf_state.stats}
+
+    def g_forward(params, stats, x, t, t_oh, mask, key):
+        (raw, masked), new_stats = g_model.apply(
+            {"params": params, **stats}, x, t, mask, train=True,
+            mutable=["batch_stats"],
+        )
+        return (raw, masked), new_stats
+
+    def d_forward(params, stats, x, t, t_oh, train):
+        return d_model.apply({"params": params, **stats}, x, t), stats
+
+    def clf_forward(x):
+        return clf_model.apply(clf_vars, x, train=False)
+
+    mask_sampler = lambda key, x: random_patch_mask(
+        key,
+        x.shape[0],
+        image_hw,
+        cfg.mask.patch_size,
+        cfg.mask.num_modifiable_patches,
+        channels=x.shape[-1],
+    )
+
+    step_fn = make_countergan_step(
+        cfg=cfg, num_classes=num_classes, g_forward=g_forward,
+        d_forward=d_forward, clf_forward=clf_forward, tx_g=tx_g, tx_d=tx_d,
+        mask_sampler=mask_sampler, diagnostics=diagnostics,
+    )
+
+    @jax.jit
+    def cf_fn(g_variables, x, target, mask, key=None):
+        raw, masked = g_model.apply(g_variables, x, target, mask, train=False)
+        x_cf = jnp.clip(x + masked, -1.0, 1.0)
+        return x_cf, raw, masked
+
+    return CounterGANBundle(
+        g_model, d_model, state, step_fn, make_epoch_runner(step_fn), cf_fn,
+        tx_g, tx_d, num_classes,
+    )
+
+
+# ------------------------------------------------------------------ tabular
+def build_tabular_countergan(
+    cfg: CounterGANConfig,
+    clf_model,
+    clf_state,
+    schema: TabularSchema,
+    stats,  # NormStats
+    num_classes: int = 4,
+    seed: int = 42,
+    diagnostics: bool = True,
+):
+    cat_norm_values = build_cat_norm_values(schema.categorical_info, stats)
+    g_model = TabularResidualGenerator(
+        input_dim=schema.input_dim,
+        hidden_dim=cfg.hidden_dim,
+        num_classes=num_classes,
+        continuous_idx=schema.continuous_idx,
+        categorical_info=schema.categorical_info,
+        n_blocks=cfg.num_res_blocks,
+        residual_scaling=cfg.residual_scaling,
+        tau=cfg.gumbel_tau,
+    )
+    d_model = SpectralMLPDiscriminator(
+        hidden_dims=(cfg.hidden_dim, cfg.hidden_dim * 2, cfg.hidden_dim * 4)
+    )
+    x0 = jnp.zeros((2, schema.input_dim))
+    oh0 = jnp.zeros((2, num_classes))
+    state, tx_g, tx_d = _init_state(
+        g_model, d_model, (x0, oh0, x0), (x0, oh0), cfg, jax.random.key(seed)
+    )
+    clf_vars = {"params": clf_state.params, **clf_state.stats}
+
+    def g_forward(params, stats_, x, t, t_oh, mask, key):
+        (cont, logits, samples), new_stats = g_model.apply(
+            {"params": params, **stats_},
+            x, t_oh, mask,
+            temperature=cfg.gumbel_tau, hard=False, train=True,
+            mutable=["batch_stats"], rngs={"gumbel": key},
+        )
+        raw = assemble_residual(x, cont, samples, schema.continuous_idx,
+                                cat_norm_values)
+        return (raw, raw * mask), new_stats
+
+    def d_forward(params, stats_, x, t, t_oh, train):
+        if train:
+            scores, new_stats = d_model.apply(
+                {"params": params, **stats_}, x, t_oh, update_stats=True,
+                mutable=["spectral_stats"],
+            )
+            return scores, new_stats
+        return (
+            d_model.apply({"params": params, **stats_}, x, t_oh,
+                          update_stats=False),
+            stats_,
+        )
+
+    def clf_forward(x):
+        return clf_model.apply(clf_vars, x, train=False)
+
+    mask_sampler = lambda key, x: random_feature_mask(
+        key, x.shape[0], x.shape[1], schema.immutable_idx
+    )
+
+    step_fn = make_countergan_step(
+        cfg=cfg, num_classes=num_classes, g_forward=g_forward,
+        d_forward=d_forward, clf_forward=clf_forward, tx_g=tx_g, tx_d=tx_d,
+        mask_sampler=mask_sampler, diagnostics=diagnostics,
+    )
+
+    @partial(jax.jit, static_argnames=("hard",))
+    def cf_fn(g_variables, x, target, mask, key, hard: bool = True):
+        """Eval-time CF: hard Gumbel, clamp to [0,1] data space
+        (`house eval_utils.py:126-181`)."""
+        t_oh = jax.nn.one_hot(target, num_classes, dtype=x.dtype)
+        cont, logits, samples = g_model.apply(
+            g_variables, x, t_oh, mask,
+            temperature=cfg.gumbel_tau, hard=hard, train=False,
+            rngs={"gumbel": key},
+        )
+        raw = assemble_residual(x, cont, samples, schema.continuous_idx,
+                                cat_norm_values)
+        masked = raw * mask
+        x_cf = jnp.clip(x + masked, 0.0, 1.0)
+        return x_cf, raw, masked
+
+    return CounterGANBundle(
+        g_model, d_model, state, step_fn, make_epoch_runner(step_fn), cf_fn,
+        tx_g, tx_d, num_classes,
+    )

@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-device virtual CPU platform BEFORE jax
+import so multi-chip sharding paths are exercised without TPU hardware."""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def moons_data():
+    from cfgan.data.moons import load_moons3
+
+    return load_moons3(seed=42)
