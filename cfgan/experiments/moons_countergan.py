@@ -1,0 +1,161 @@
+"""moons CounteRGAN experiment — the 2-D pedagogical pipeline.
+
+TPU-native equivalent of `conditional_counteRGAN/moons/main.py:14-60`:
+train-or-load classifier -> freeze -> train-or-load CounteRGAN ->
+per-target metrics + decision-boundary/CF plots.
+
+Run: python -m cfgan.experiments.moons_countergan [--epochs N] [--out-dir D]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfgan.core import checkpoint as ckpt
+from cfgan.data.moons import load_moons3
+from cfgan.eval.boundaries import (
+    plot_decision_boundaries_and_cfs,
+    plot_decision_boundaries_only,
+)
+from cfgan.eval.classifier import evaluate_classifier
+from cfgan.eval.metrics import make_per_target_sweep, per_target_metrics
+from cfgan.experiments.presets import MOONS_COUNTERGAN
+from cfgan.models.classifiers import MLPClassifier
+from cfgan.train.builders import build_moons_countergan
+from cfgan.train.classifier import make_eval_fn, train_classifier
+from cfgan.train.loop import plot_loss_curves, train_countergan_loop
+
+
+def run(cfg=MOONS_COUNTERGAN, out_dir: str | None = None, fresh: bool = False):
+    out_dir = out_dir or os.path.join(cfg.out_dir, cfg.name)
+    os.makedirs(out_dir, exist_ok=True)
+    (xtr, ytr), (xte, yte), stats = load_moons3(seed=cfg.data.seed)
+
+    # ---- stage 1: classifier (skip-if-exists, moons/main.py:19-23) ----
+    clf_model = MLPClassifier(num_classes=cfg.num_classes,
+                              hidden_dim=cfg.classifier.hidden_dim)
+    clf_dir = os.path.join(out_dir, "classifier")
+    if ckpt.exists(clf_dir) and not fresh:
+        template = clf_model.init(jax.random.key(0), jnp.asarray(xtr[:2]))
+        from cfgan.train.state import NetState, adam_like_torch
+
+        restored = ckpt.restore(clf_dir, dict(template))
+        clf_state = NetState.create(restored, adam_like_torch(cfg.classifier.lr))
+        print(f"Loaded classifier from {clf_dir}")
+    else:
+        clf_state, _ = train_classifier(
+            clf_model, cfg.classifier, (xtr, ytr), seed=cfg.seed
+        )
+        ckpt.save(clf_dir, clf_state.variables(),
+                  metadata={"stats": stats.to_metadata()})
+
+    logits_fn, accuracy = make_eval_fn(clf_model)
+    clf_eval = evaluate_classifier(logits_fn, clf_state, xte, yte,
+                                   out_dir=os.path.join(out_dir, "classifier_eval"))
+    print(f"Classifier test accuracy: {clf_eval['accuracy']:.4f}")
+
+    # ---- stage 2: CounteRGAN (moons/main.py:49-52) ----
+    bundle = build_moons_countergan(
+        cfg.countergan, clf_model, clf_state, num_classes=cfg.num_classes,
+        seed=cfg.seed,
+    )
+    gen_dir = os.path.join(out_dir, "generator")
+    if ckpt.exists(gen_dir) and not fresh:
+        g_vars = ckpt.restore(gen_dir, dict(bundle.state.g.variables()))
+        from cfgan.train.state import NetState
+
+        bundle.state = bundle.state.replace(
+            g=NetState.create(g_vars, bundle.tx_g)
+        )
+        state = bundle.state
+        history = {}
+        print(f"Loaded generator from {gen_dir}")
+    else:
+        state, history = train_countergan_loop(
+            bundle, xtr, ytr,
+            epochs=cfg.countergan.epochs,
+            batch_size=cfg.data.batch_size,
+            seed=cfg.seed,
+            log_every=max(1, cfg.countergan.epochs // 10),
+        )
+        ckpt.save(gen_dir, state.g.variables())
+        plot_loss_curves(history, os.path.join(out_dir, "loss_curves.png"))
+
+    # ---- stage 3: evaluation (moons/eval_utils.py:227-268) ----
+    g_vars = state.g.variables()
+
+    def clf_fn(x):
+        return clf_model.apply(clf_state.variables(), x, train=False)
+
+    sweep = make_per_target_sweep(
+        bundle.cf_fn, clf_fn, cfg.num_classes,
+        exclude_same_class=True,
+        pred_gain_mode="cf_target_minus_orig_target",
+        actionability_mode="masked_residual",
+    )
+    key = jax.random.key(cfg.seed)
+    df = per_target_metrics(
+        sweep, g_vars, xte, yte,
+        mask_fn=lambda b: jnp.ones((b, 2), jnp.float32),
+        key=key, num_classes=cfg.num_classes,
+    )
+    df.to_csv(os.path.join(out_dir, "countergan_metrics.csv"), index=False)
+    print(df)
+
+    # mask-policy sweep {both, x_only, y_only, none} — the reference sketches
+    # this (commented out at moons/eval_utils.py:232-251); here it runs.
+    mask_rows = {
+        "both": (1.0, 1.0), "x_only": (1.0, 0.0),
+        "y_only": (0.0, 1.0), "none": (0.0, 0.0),
+    }
+    rows = []
+    for name, row in mask_rows.items():
+        dfm = per_target_metrics(
+            sweep, g_vars, xte, yte,
+            mask_fn=lambda b, r=row: jnp.broadcast_to(
+                jnp.asarray(r, jnp.float32), (b, 2)
+            ),
+            key=key, num_classes=cfg.num_classes,
+        )
+        dfm.insert(0, "mask", name)
+        rows.append(dfm)
+    import pandas as pd
+
+    pd.concat(rows).to_csv(
+        os.path.join(out_dir, "countergan_metrics_per_mask.csv"), index=False
+    )
+
+    plot_decision_boundaries_only(
+        clf_fn, xte, yte, os.path.join(out_dir, "decision_boundaries.png"),
+        num_classes=cfg.num_classes,
+    )
+    plot_decision_boundaries_and_cfs(
+        clf_fn, bundle.cf_fn, g_vars, xte, yte, cfg.num_classes,
+        os.path.join(out_dir, "boundaries"), key=key,
+    )
+    return {"classifier": clf_eval, "metrics": df, "state": state}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--clf-steps", type=int, default=None)
+    ap.add_argument("--out-dir", type=str, default=None)
+    ap.add_argument("--fresh", action="store_true")
+    args = ap.parse_args()
+    from cfgan.core.config import replace as cfg_replace
+
+    cfg = MOONS_COUNTERGAN
+    if args.epochs is not None:
+        cfg = cfg.replace(countergan=cfg_replace(cfg.countergan, epochs=args.epochs))
+    if args.clf_steps is not None:
+        cfg = cfg.replace(classifier=cfg_replace(cfg.classifier, steps=args.clf_steps))
+    run(cfg, out_dir=args.out_dir, fresh=args.fresh)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Experiment presets mirroring the five reference experiment folders
+(BASELINE.json "configs").  Hyperparameters cite the reference config they
+reproduce."""
+from __future__ import annotations
+
+from cfgan.core.config import (
+    ClassifierConfig,
+    CounterGANConfig,
+    DataConfig,
+    ExperimentConfig,
+    GANConfig,
+    MaskConfig,
+)
+
+# ----------------------------------------------------------- CounteRGAN
+# moons/config.py:1-17
+MOONS_COUNTERGAN = ExperimentConfig(
+    name="moons_countergan",
+    seed=42,
+    num_classes=3,
+    data=DataConfig(name="moons", batch_size=64),
+    classifier=ClassifierConfig(arch="mlp", lr=1e-2, steps=1000, hidden_dim=32),
+    countergan=CounterGANConfig(
+        epochs=500,
+        lr_g=1e-3,
+        lr_d=1e-3,
+        lambda_cls=2.0,
+        lambda_reg_l1=5.0,
+        lambda_reg_l2=5.0,
+        lambda_mask=3.0,
+        adv_loss="wasserstein",
+        reg_reduction="per_sample_norm",
+        clamp_cf=None,
+        resample_target=True,
+        hidden_dim=32,
+        mask=MaskConfig(kind="feature"),
+    ),
+)
+
+# mnist/config.py:3-29
+MNIST_COUNTERGAN = ExperimentConfig(
+    name="mnist_countergan",
+    seed=42,
+    num_classes=10,
+    data=DataConfig(name="mnist", batch_size=128, valid_fraction=0.1),
+    classifier=ClassifierConfig(arch="cnn", lr=1e-3, epochs=10, batch_size=128),
+    countergan=CounterGANConfig(
+        epochs=20,
+        lr_g=5e-5,
+        lr_d=1e-5,
+        lambda_adv=1.0,
+        lambda_cls=1.0,
+        lambda_reg_l1=2.5,
+        lambda_mask=2.0,
+        adv_loss="bce",
+        reg_reduction="mean_abs",
+        clamp_cf=(-1.0, 1.0),
+        resample_target=False,  # mnist/trainer.py:94 samples any target
+        hidden_dim=64,
+        num_res_blocks=6,
+        mask=MaskConfig(kind="patch", patch_size=7, num_modifiable_patches=10),
+    ),
+)
+
+# house_sales_kc_usa/config.py:13-83
+HOUSE_COUNTERGAN = ExperimentConfig(
+    name="house_countergan",
+    seed=42,
+    num_classes=4,
+    data=DataConfig(name="kc_house", batch_size=128),
+    classifier=ClassifierConfig(
+        arch="tabular",
+        lr=5e-4,
+        epochs=200,
+        batch_size=128,
+        weight_decay=0.01,
+        class_weighted=True,
+        early_stop_patience=15,
+        lr_plateau=True,
+    ),
+    countergan=CounterGANConfig(
+        epochs=50,
+        lr_g=1e-3,
+        lr_d=1e-3,
+        lambda_cls=2.0,
+        lambda_reg_l1=1.0,
+        lambda_mask=1.0,
+        adv_loss="wasserstein",
+        reg_reduction="per_sample_norm",
+        clamp_cf=None,
+        resample_target=True,
+        hidden_dim=32,
+        num_res_blocks=5,
+        gumbel_tau=0.5,
+    ),
+)
+
+# ------------------------------------------------------ generation families
+# simple_gan/moons/make_moons_gan.py:15-21
+SIMPLE_GAN_MOONS = ExperimentConfig(
+    name="simple_gan_moons",
+    num_classes=2,
+    data=DataConfig(name="moons2", batch_size=50),
+    countergan=None,
+    gan=GANConfig(family="simple_mlp", epochs=500, lr_g=1e-3, lr_d=1e-3,
+                  latent_dim=32, hidden_dim=128),
+)
+
+# simple_gan/mnist/mnist_gan.py:22-32 (argparse defaults)
+SIMPLE_GAN_MNIST = ExperimentConfig(
+    name="simple_gan_mnist",
+    num_classes=10,
+    data=DataConfig(name="mnist", batch_size=64, valid_fraction=0.0),
+    countergan=None,
+    gan=GANConfig(family="mlp_image", epochs=20, lr_g=2e-4, lr_d=2e-4,
+                  beta1=0.5, beta2=0.999, latent_dim=100, g_before_d=True,
+                  sample_every=400),
+)
+
+# conditional_gan/moons/make_moons_cgan.py:10-21
+CGAN_MOONS = ExperimentConfig(
+    name="cgan_moons",
+    num_classes=2,
+    data=DataConfig(name="moons2", batch_size=64),
+    countergan=None,
+    gan=GANConfig(family="cgan_mlp", epochs=500, lr_g=1e-3, lr_d=1e-3,
+                  latent_dim=32, hidden_dim=128),
+)
+
+# conditional_gan/mnist/mnist_wgan_conditional.py:20-32
+WGAN_GP_MNIST = ExperimentConfig(
+    name="wgan_gp_mnist",
+    num_classes=10,
+    data=DataConfig(name="mnist", batch_size=128),
+    countergan=None,
+    gan=GANConfig(family="wgan_gp", epochs=20, lr_g=1e-4, lr_d=1e-4,
+                  beta1=0.0, beta2=0.9, latent_dim=32, n_critic=5,
+                  gp_lambda=10.0, sample_every=500),
+)
+
+# dconv_gan/mnist/mnist_dcgan.py:15-30
+DCGAN_MNIST = ExperimentConfig(
+    name="dcgan_mnist",
+    num_classes=10,
+    data=DataConfig(name="mnist", batch_size=128, resize_to=64),
+    countergan=None,
+    gan=GANConfig(family="dcgan", epochs=5, lr_g=2e-4, lr_d=2e-4,
+                  beta1=0.5, beta2=0.999, latent_dim=100, sample_every=500),
+)
+
+PRESETS = {
+    p.name: p
+    for p in (
+        MOONS_COUNTERGAN,
+        MNIST_COUNTERGAN,
+        HOUSE_COUNTERGAN,
+        SIMPLE_GAN_MOONS,
+        SIMPLE_GAN_MNIST,
+        CGAN_MOONS,
+        WGAN_GP_MNIST,
+        DCGAN_MNIST,
+    )
+}

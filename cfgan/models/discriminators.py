@@ -112,13 +112,9 @@ class DCGANDiscriminator(nn.Module):
             (self.d_hidden * 2, self.d_hidden * 4, self.d_hidden * 8), start=1
         ):
             h = Conv(ch, 4, 2, 1, use_bias=False, kernel_init=init, name=f"conv{i}")(h)
-            h = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                scale_init=_dcgan_bn_scale,
-                name=f"bn{i}",
-            )(h)
+            h = BatchNorm(scale_init=_dcgan_bn_scale, name=f"bn{i}")(
+                h, use_running_average=not train
+            )
             h = leaky_relu(h, 0.2)
         h = Conv(1, 4, 1, 0, use_bias=False, kernel_init=init, name="conv_out")(h)
         return jax.nn.sigmoid(h.reshape(h.shape[0]))

@@ -197,13 +197,9 @@ class DCGANGenerator(nn.Module):
         for i, (ch, k, s, p) in enumerate(specs):
             h = ConvTranspose(ch, k, s, p, use_bias=False, kernel_init=init,
                               name=f"tconv{i}")(h)
-            h = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                scale_init=_dcgan_bn_scale,
-                name=f"bn{i}",
-            )(h)
+            h = BatchNorm(scale_init=_dcgan_bn_scale, name=f"bn{i}")(
+                h, use_running_average=not train
+            )
             h = jax.nn.relu(h)
         h = ConvTranspose(self.channels, 4, 2, 1, use_bias=False, kernel_init=init,
                           name="tconv_out")(h)

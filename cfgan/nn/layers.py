@@ -103,29 +103,66 @@ class ConvTranspose(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm matching torch defaults (momentum 0.1 torch == 0.9 flax,
-    eps 1e-5).  Running stats live in the 'batch_stats' collection."""
+    """BatchNorm with exact torch semantics: normalization by *biased* batch
+    variance, running variance updated with the *unbiased* batch variance
+    (torch's documented behavior; flax's BatchNorm updates with the biased
+    one, which diverges run-stat parity).  momentum 0.9 here == torch 0.1;
+    eps 1e-5.  Running stats live in the 'batch_stats' collection.
+
+    Set `axis_name` for cross-replica (sync) BN under shard_map/pmap; the
+    default per-replica stats match single-GPU reference semantics
+    (SURVEY.md section 7 "BatchNorm under DP").
+    """
 
     use_running_average: bool | None = None
     momentum: float = 0.9
     epsilon: float = 1e-5
     use_scale: bool = True
     use_bias: bool = True
-    axis_name: str | None = None  # set for cross-replica (sync) BN
+    scale_init: Callable = cinit.ones
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, use_running_average: bool | None = None):
         ura = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
-        return nn.BatchNorm(
-            use_running_average=ura,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            use_scale=self.use_scale,
-            use_bias=self.use_bias,
-            axis_name=self.axis_name,
-        )(x)
+        feat = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+
+        if ura:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            mean = jnp.mean(x, axes)
+            mean_sq = jnp.mean(jax.lax.square(x), axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
+                n *= jax.lax.psum(1, self.axis_name)
+            var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+            if not self.is_initializing() and self.is_mutable_collection(
+                "batch_stats"
+            ):
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * unbiased
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_scale:
+            y = y * self.param("scale", self.scale_init, (feat,))
+        if self.use_bias:
+            y = y + self.param("bias", cinit.zeros, (feat,))
+        return y
 
 
 class InstanceNorm(nn.Module):

@@ -1,0 +1,81 @@
+"""Host-side training loops around the compiled epoch runners."""
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfgan.data.pipeline import epoch_perm
+
+
+def train_countergan_loop(
+    bundle,
+    x_train,
+    y_train,
+    *,
+    epochs: int,
+    batch_size: int,
+    seed: int = 42,
+    log: Callable[[str], None] = print,
+    log_every: int = 1,
+    history: dict | None = None,
+):
+    """Runs `epochs` compiled epochs; returns (final state, history).
+
+    One host sync per epoch (metric means), mirroring the reference's
+    per-epoch summary lines (`moons/trainer.py:110-118`) without its
+    per-batch `.item()` stalls."""
+    state = bundle.state
+    x = jnp.asarray(x_train)
+    y = jnp.asarray(y_train)
+    n = len(y_train)
+    key = jax.random.key(seed)
+    history = history if history is not None else {}
+    t0 = time.perf_counter()
+    for epoch in range(epochs):
+        k_perm = jax.random.fold_in(key, 2 * epoch)
+        k_step = jax.random.fold_in(key, 2 * epoch + 1)
+        perm = epoch_perm(k_perm, n, batch_size)
+        state, metrics = bundle.epoch_fn(state, x, y, perm, k_step)
+        for k, v in metrics.items():
+            history.setdefault(k, []).append(float(v))
+        if log_every and (epoch + 1) % log_every == 0:
+            d = {k: history[k][-1] for k in ("d_loss", "g_loss") if k in history}
+            extras = {
+                k: history[k][-1]
+                for k in ("flip_rate", "g_cls", "d_real_p", "d_fake_p")
+                if k in history
+            }
+            line = ", ".join(f"{k}={v:.4f}" for k, v in {**d, **extras}.items())
+            log(f"[CounteRGAN] epoch {epoch+1}/{epochs} :: {line}")
+    history["wall_time_s"] = time.perf_counter() - t0
+    return state, history
+
+
+def plot_loss_curves(history: dict, path: str, keys=("g_loss", "d_loss", "g_cls")):
+    """Loss-curve PNG matching the reference's gan_losses.png
+    (`mnist/trainer.py:149-160`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig, ax = plt.subplots(figsize=(8, 6))
+    labels = {"g_loss": "Generator Loss", "d_loss": "Discriminator Loss",
+              "g_cls": "Classifier Loss (g_cls)"}
+    for k in keys:
+        if k in history and isinstance(history[k], list):
+            ax.plot(history[k], label=labels.get(k, k),
+                    linestyle="--" if k == "g_cls" else "-")
+    ax.set_xlabel("Epoch")
+    ax.set_ylabel("Loss")
+    ax.legend()
+    ax.set_title("CounterGAN Losses")
+    fig.savefig(path)
+    plt.close(fig)
+    return path

@@ -3,7 +3,8 @@ import so multi-chip sharding paths are exercised without TPU hardware."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_platform = os.environ.get("CFGAN_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,6 +12,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# jax may already be imported (site customization), in which case its config
+# snapshotted the original env — override through the config API too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
 
 import pytest  # noqa: E402
 

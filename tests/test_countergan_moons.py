@@ -1,0 +1,93 @@
+"""Integration: moons CounteRGAN end-to-end on a tiny budget.
+
+Golden-envelope test mirroring the reference's committed metrics
+(SURVEY.md section 6): with full masks the flip rate should approach 1.0.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfgan.core.config import ClassifierConfig, CounterGANConfig
+from cfgan.data.moons import load_moons3
+from cfgan.data.pipeline import epoch_perm
+from cfgan.models.classifiers import MLPClassifier
+from cfgan.train.builders import build_moons_countergan
+from cfgan.train.classifier import make_eval_fn, train_classifier
+from cfgan.train.loop import train_countergan_loop
+
+
+@pytest.fixture(scope="module")
+def trained(moons_data):
+    (xtr, ytr), (xte, yte), stats = moons_data
+    clf_model = MLPClassifier()
+    clf_state, _ = train_classifier(
+        clf_model, ClassifierConfig(lr=1e-2, steps=400), (xtr, ytr), seed=42
+    )
+    cfg = CounterGANConfig(
+        lambda_cls=2.0, lambda_reg_l1=5.0, lambda_reg_l2=5.0, lambda_mask=3.0
+    )
+    bundle = build_moons_countergan(cfg, clf_model, clf_state)
+    state, history = train_countergan_loop(
+        bundle, xtr, ytr, epochs=40, batch_size=64, seed=0, log_every=0
+    )
+    return clf_model, clf_state, bundle, state, history, (xte, yte)
+
+
+def test_classifier_accuracy(trained, moons_data):
+    clf_model, clf_state, *_ = trained
+    (_, _), (xte, yte), _ = moons_data
+    _, accuracy = make_eval_fn(clf_model)
+    assert accuracy(clf_state, jnp.asarray(xte), np.asarray(yte)) > 0.9
+
+
+def test_flip_rate_full_mask(trained):
+    clf_model, clf_state, bundle, state, history, (xte, yte) = trained
+    g_vars = state.g.variables()
+    tgt = (jnp.asarray(yte) + 1) % 3
+    x = jnp.asarray(xte)
+    x_cf, raw, masked = bundle.cf_fn(g_vars, x, tgt, jnp.ones_like(x))
+    logits = clf_model.apply(clf_state.variables(), x_cf, train=False)
+    flip = float(jnp.mean(jnp.argmax(logits, 1) == tgt))
+    assert flip > 0.9, f"flip rate {flip}"
+
+
+def test_mask_is_hard_constraint(trained):
+    _, _, bundle, state, *_ , (xte, yte) = trained
+    g_vars = state.g.variables()
+    x = jnp.asarray(xte)
+    tgt = (jnp.asarray(yte) + 1) % 3
+    # zero mask -> identity counterfactual
+    x_cf, _, _ = bundle.cf_fn(g_vars, x, tgt, jnp.zeros_like(x))
+    np.testing.assert_array_equal(np.asarray(x_cf), np.asarray(x))
+    # x-only mask -> feature 1 untouched
+    m = jnp.concatenate([jnp.ones((x.shape[0], 1)), jnp.zeros((x.shape[0], 1))], 1)
+    x_cf, _, _ = bundle.cf_fn(g_vars, x, tgt, m)
+    np.testing.assert_array_equal(np.asarray(x_cf[:, 1]), np.asarray(x[:, 1]))
+
+
+def test_losses_recorded_and_finite(trained):
+    *_, history, _ = trained
+    for k in ("d_loss", "g_loss", "g_cls", "flip_rate"):
+        assert k in history and len(history[k]) == 40
+        assert np.isfinite(history[k]).all()
+
+
+def test_training_is_deterministic(moons_data):
+    """Same seeds -> bitwise-identical epoch metrics (PRNG discipline)."""
+    (xtr, ytr), _, _ = moons_data
+    clf_model = MLPClassifier()
+    clf_state, _ = train_classifier(
+        clf_model, ClassifierConfig(lr=1e-2, steps=50), (xtr, ytr), seed=1
+    )
+    cfg = CounterGANConfig()
+
+    def one_epoch():
+        bundle = build_moons_countergan(cfg, clf_model, clf_state, seed=7)
+        x, y = jnp.asarray(xtr), jnp.asarray(ytr)
+        perm = epoch_perm(jax.random.key(3), len(ytr), 64)
+        _, m = bundle.epoch_fn(bundle.state, x, y, perm, jax.random.key(4))
+        return {k: float(v) for k, v in m.items()}
+
+    a, b = one_epoch(), one_epoch()
+    assert a == b

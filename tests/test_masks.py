@@ -1,0 +1,70 @@
+"""Mask subsystem: patch grids, nearest upsampling (vs torch
+F.interpolate), fixed-count selection, immutable feature handling."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from cfgan.masks.feature import immutable_complement_mask, random_feature_mask
+from cfgan.masks.patch import (
+    patch_indices_to_mask,
+    random_patch_mask,
+    upsample_patch_mask,
+)
+
+
+def test_upsample_matches_torch_interpolate_nearest():
+    rng = np.random.RandomState(0)
+    pm = (rng.rand(4, 4, 4) > 0.5).astype(np.float32)
+    ours = np.asarray(upsample_patch_mask(jnp.asarray(pm), 7, channels=1))
+    theirs = F.interpolate(torch.tensor(pm)[:, None], size=(28, 28), mode="nearest")
+    assert ours.shape == (4, 28, 28, 1)
+    np.testing.assert_array_equal(ours[..., 0], theirs[:, 0].numpy())
+
+
+def test_random_patch_mask_fixed_count():
+    key = jax.random.key(0)
+    m = random_patch_mask(key, 8, (28, 28), 7, num_modifiable=10)
+    assert m.shape == (8, 28, 28, 1)
+    # patch-level count: pool back down and count ones
+    patches = m[:, ::7, ::7, 0]
+    counts = np.asarray(patches.reshape(8, -1).sum(axis=1))
+    np.testing.assert_array_equal(counts, np.full(8, 10))
+    # mask must be constant within each 7x7 patch
+    m_np = np.asarray(m[..., 0])
+    for b in range(8):
+        for i in range(4):
+            for j in range(4):
+                patch = m_np[b, i * 7 : (i + 1) * 7, j * 7 : (j + 1) * 7]
+                assert patch.min() == patch.max()
+
+
+def test_random_patch_mask_bernoulli_when_none():
+    key = jax.random.key(1)
+    m = random_patch_mask(key, 512, (28, 28), 7, num_modifiable=None)
+    frac = float(m.mean())
+    assert 0.45 < frac < 0.55  # iid Bernoulli(0.5)
+
+
+def test_patch_indices_to_mask_row_major():
+    m = patch_indices_to_mask([0, 5, 15], 2, (28, 28), 7)
+    m_np = np.asarray(m[..., 0])
+    assert m_np[0, 0, 0] == 1.0  # patch 0: top-left
+    assert m_np[0, 7, 7] == 1.0  # patch 5 = row1,col1
+    assert m_np[0, 21, 21] == 1.0  # patch 15 = row3,col3
+    assert m_np[0, 0, 7] == 0.0  # patch 1 not selected
+    assert m_np.sum() == 2 * 3 * 49
+
+
+def test_feature_mask_immutables_always_zero():
+    key = jax.random.key(2)
+    m = random_feature_mask(key, 256, 17, immutable_idx=(13, 14, 11, 12))
+    m_np = np.asarray(m)
+    assert m_np[:, [11, 12, 13, 14]].sum() == 0.0
+    assert 0.4 < m_np[:, [0, 1, 2]].mean() < 0.6
+
+
+def test_immutable_complement_mask():
+    m = np.asarray(immutable_complement_mask(4, 6, immutable_idx=(2, 4)))
+    np.testing.assert_array_equal(m[0], [1, 1, 0, 1, 0, 1])

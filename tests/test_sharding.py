@@ -1,0 +1,67 @@
+"""Multi-chip data parallelism on the virtual 8-device CPU mesh.
+
+The reference has zero distributed code (SURVEY.md section 2.9); these tests
+pin the capability uplift: batch sharded over the 'data' axis, params
+replicated, gradients psum'd by XLA during sharding propagation, and results
+identical to single-device execution.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cfgan.core.config import ClassifierConfig, CounterGANConfig
+from cfgan.data.pipeline import epoch_perm
+from cfgan.models.classifiers import MLPClassifier
+from cfgan.parallel.mesh import create_mesh
+from cfgan.parallel.sharding import batch_sharding, replicate, shard_batch
+from cfgan.train.builders import build_moons_countergan
+from cfgan.train.classifier import train_classifier
+
+
+def test_mesh_has_8_devices():
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data",)
+
+
+def test_shard_and_replicate_placement():
+    mesh = create_mesh()
+    x = np.arange(64 * 4, dtype=np.float32).reshape(64, 4)
+    (xs,) = shard_batch(mesh, (x,))
+    assert xs.sharding.is_equivalent_to(batch_sharding(mesh, "data", 2), 2)
+    (xr,) = replicate(mesh, (jnp.ones((3, 3)),))
+    assert xr.sharding.is_fully_replicated
+
+
+def test_sharded_epoch_matches_single_device(moons_data):
+    """One compiled CounteRGAN epoch: identical metrics whether the batch is
+    sharded over 8 devices or kept on one."""
+    (xtr, ytr), _, _ = moons_data
+    clf_model = MLPClassifier()
+    clf_state, _ = train_classifier(
+        clf_model, ClassifierConfig(lr=1e-2, steps=50), (xtr, ytr), seed=1
+    )
+    bundle = build_moons_countergan(
+        CounterGANConfig(), clf_model, clf_state, seed=7
+    )
+    x, y = jnp.asarray(xtr), jnp.asarray(ytr)
+    perm = epoch_perm(jax.random.key(3), len(ytr), 64)
+    key = jax.random.key(4)
+
+    _, m_single = bundle.epoch_fn(bundle.state, x, y, perm, key)
+
+    mesh = create_mesh()
+    bundle2 = build_moons_countergan(
+        CounterGANConfig(), clf_model, clf_state, seed=7
+    )
+    xs, ys = shard_batch(mesh, (np.asarray(x), np.asarray(y)))
+    state_r = replicate(mesh, bundle2.state)
+    _, m_shard = bundle2.epoch_fn(state_r, xs, ys, perm, key)
+
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_shard[k]), rtol=2e-4, atol=1e-5,
+            err_msg=k,
+        )
