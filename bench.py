@@ -1,0 +1,243 @@
+"""Benchmark: MNIST CounteRGAN G+D train-step throughput (images/sec/chip).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The workload is the flagship hot loop (SURVEY.md section 3.5 item 1): one
+fused XLA program per step — mask+target sampling, generator forward,
+discriminator update (real+fake batched), generator update through the
+frozen classifier — with donated state and zero per-step host syncs.
+
+Baseline: the PyTorch reference publishes no throughput numbers
+(BASELINE.md), so the baseline is the reference-equivalent eager PyTorch
+train step (same models, losses, and update order as
+`conditional_counteRGAN/mnist/trainer.py:76-137`, re-implemented from the
+survey, not copied) measured on THIS host's CPU — the only PyTorch device
+available here.  The measurement is cached in `.bench_baseline.json`.
+Secondary metrics (cf/sec serving throughput) go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BATCH = 128
+STEPS = 60
+WARMUP = 3
+_BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".bench_baseline.json")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+# --------------------------------------------------------------- cfgan side
+def bench_cfgan():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfgan.core.config import CounterGANConfig, MaskConfig
+    from cfgan.models.classifiers import CNNClassifier
+    from cfgan.train.builders import build_mnist_countergan
+    from cfgan.train.state import NetState, adam_like_torch
+
+    cfg = CounterGANConfig(
+        lr_g=5e-5, lr_d=1e-5, lambda_adv=1.0, lambda_cls=1.0,
+        lambda_reg_l1=2.5, lambda_mask=2.0, adv_loss="bce",
+        reg_reduction="mean_abs", clamp_cf=(-1.0, 1.0),
+        resample_target=False, num_res_blocks=6,
+        mask=MaskConfig(kind="patch", patch_size=7, num_modifiable_patches=10),
+    )
+    clf_model = CNNClassifier()
+    clf_state = NetState.create(
+        clf_model.init(jax.random.key(1), jnp.zeros((2, 28, 28, 1)),
+                       train=False),
+        adam_like_torch(1e-3),
+    )
+    bundle = build_mnist_countergan(cfg, clf_model, clf_state, seed=0,
+                                    diagnostics=False)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (BATCH, 28, 28, 1)).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 10, BATCH).astype(np.int32))
+    key = jax.random.key(2)
+
+    step = jax.jit(bundle.step_fn, donate_argnums=(0,))
+    state = bundle.state
+    t0 = time.perf_counter()
+    for _ in range(WARMUP):
+        state, metrics = step(state, x, y, key)
+    jax.block_until_ready(metrics)
+    log(f"[cfgan] compile+warmup {time.perf_counter() - t0:.1f}s on "
+        f"{jax.devices()[0].platform}")
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = step(state, x, y, key)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    train_ips = BATCH * STEPS / dt
+    log(f"[cfgan] train step: {dt / STEPS * 1e3:.2f} ms/step -> "
+        f"{train_ips:,.0f} images/sec/chip")
+
+    # secondary: serving throughput (fused G+classifier counterfactual fwd)
+    cf = bundle.cf_fn
+    g_vars = state.g.variables()
+    t = jnp.asarray(rng.randint(0, 10, BATCH).astype(np.int32))
+    mask = jnp.ones((BATCH, 28, 28, 1), jnp.float32)
+    out = cf(g_vars, x, t, mask)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = cf(g_vars, x, t, mask)
+    jax.block_until_ready(out)
+    cf_ps = BATCH * STEPS / (time.perf_counter() - t0)
+    log(f"[cfgan] counterfactuals/sec (batch {BATCH}): {cf_ps:,.0f}")
+    return train_ips, cf_ps
+
+
+# ------------------------------------------------------------ torch baseline
+def bench_torch_baseline(steps: int = 8) -> float:
+    """Reference-equivalent eager PyTorch CounteRGAN step on this host."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    dev = "cuda" if torch.cuda.is_available() else "cpu"
+
+    class ResBlock(nn.Module):
+        def __init__(self, ch):
+            super().__init__()
+            self.c1 = nn.Conv2d(ch, ch, 3, 1, 1)
+            self.b1 = nn.BatchNorm2d(ch)
+            self.c2 = nn.Conv2d(ch, ch, 3, 1, 1)
+            self.b2 = nn.BatchNorm2d(ch)
+
+        def forward(self, x):
+            h = F.leaky_relu(self.b1(self.c1(x)), 0.2)
+            return x + 0.1 * self.b2(self.c2(h))
+
+    class Gen(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.emb = nn.Embedding(10, 784)
+            self.cin = nn.Conv2d(3, 64, 3, 1, 1)
+            self.blocks = nn.Sequential(*[ResBlock(64) for _ in range(6)])
+            self.mid = nn.Conv2d(64, 64, 3, 1, 1)
+            self.out = nn.Conv2d(64, 1, 3, 1, 1)
+
+        def forward(self, x, t, m):
+            plane = self.emb(t).view(-1, 1, 28, 28)
+            h = F.leaky_relu(self.cin(torch.cat([x, plane, m], 1)), 0.2)
+            h = F.leaky_relu(self.mid(self.blocks(h)), 0.2)
+            raw = self.out(h) * 0.1
+            return raw, raw * m
+
+    class Disc(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.emb = nn.Embedding(10, 784)
+            chans = [(2, 64), (64, 128), (128, 256), (256, 256)]
+            self.convs = nn.ModuleList(
+                [nn.Conv2d(i, o, 3, 2, 1) for i, o in chans]
+            )
+            self.fc = nn.Linear(256, 1)
+
+        def forward(self, x, t):
+            h = torch.cat([x, self.emb(t).view(-1, 1, 28, 28)], 1)
+            for c in self.convs:
+                h = F.leaky_relu(c(h), 0.2)
+            return self.fc(F.adaptive_avg_pool2d(h, 1).flatten(1))
+
+    class Clf(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = nn.Conv2d(1, 32, 3, 1, 1)
+            self.c2 = nn.Conv2d(32, 64, 3, 2, 1)
+            self.c3 = nn.Conv2d(64, 128, 3, 2, 1)
+            self.f1 = nn.Linear(128 * 7 * 7, 256)
+            self.f2 = nn.Linear(256, 10)
+
+        def forward(self, x):
+            h = F.relu(self.c1(x))
+            h = F.relu(self.c2(h))
+            h = F.relu(self.c3(h))
+            return self.f2(F.relu(self.f1(h.flatten(1))))
+
+    G, D, C = Gen().to(dev), Disc().to(dev), Clf().to(dev)
+    for p in C.parameters():
+        p.requires_grad_(False)
+    og = torch.optim.Adam(G.parameters(), 5e-5)
+    od = torch.optim.Adam(D.parameters(), 1e-5)
+    bce = nn.BCEWithLogitsLoss()
+
+    x = torch.rand(BATCH, 1, 28, 28, device=dev) * 2 - 1
+    y = torch.randint(0, 10, (BATCH,), device=dev)
+
+    def one_step():
+        t = torch.randint(0, 10, (BATCH,), device=dev)
+        m = (torch.rand(BATCH, 1, 4, 4, device=dev) > 0.5).float()
+        m = F.interpolate(m, scale_factor=7, mode="nearest")
+        raw, masked = G(x, t, m)
+        x_cf = torch.clamp(x + masked, -1, 1)
+        od.zero_grad()
+        d_loss = bce(D(x, y), torch.ones(BATCH, 1, device=dev)) + bce(
+            D(x_cf.detach(), t), torch.zeros(BATCH, 1, device=dev)
+        )
+        d_loss.backward()
+        od.step()
+        og.zero_grad()
+        g_loss = (
+            bce(D(x_cf, t), torch.ones(BATCH, 1, device=dev))
+            + F.cross_entropy(C(x_cf), t)
+            + 2.5 * masked.abs().mean()
+            + 2.0 * (raw * (1 - m)).abs().mean()
+        )
+        g_loss.backward()
+        og.step()
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    if dev == "cuda":
+        torch.cuda.synchronize()
+    ips = BATCH * steps / (time.perf_counter() - t0)
+    log(f"[torch baseline] {dev}: {ips:,.0f} images/sec")
+    return ips
+
+
+def get_baseline() -> float:
+    if os.path.exists(_BASELINE_CACHE):
+        with open(_BASELINE_CACHE) as f:
+            return json.load(f)["torch_images_per_sec"]
+    try:
+        ips = bench_torch_baseline()
+        with open(_BASELINE_CACHE, "w") as f:
+            json.dump({"torch_images_per_sec": ips, "note":
+                       "reference-equivalent eager step, this host"}, f)
+        return ips
+    except Exception as e:  # torch missing/broken: report absolute only
+        log(f"[torch baseline] unavailable: {e}")
+        return float("nan")
+
+
+def main():
+    train_ips, cf_ps = bench_cfgan()
+    base = get_baseline()
+    vs = train_ips / base if base == base else 0.0
+    print(json.dumps({
+        "metric": "mnist_countergan_train_images_per_sec_per_chip",
+        "value": round(train_ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
