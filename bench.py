@@ -49,7 +49,7 @@ def bench_cfgan():
         lr_g=5e-5, lr_d=1e-5, lambda_adv=1.0, lambda_cls=1.0,
         lambda_reg_l1=2.5, lambda_mask=2.0, adv_loss="bce",
         reg_reduction="mean_abs", clamp_cf=(-1.0, 1.0),
-        resample_target=False, num_res_blocks=6,
+        resample_target=False, num_res_blocks=6, hidden_dim=64,
         mask=MaskConfig(kind="patch", patch_size=7, num_modifiable_patches=10),
     )
     clf_model = CNNClassifier()

@@ -1,0 +1,164 @@
+"""KC house-sales CounteRGAN experiment — the flagship tabular pipeline.
+
+TPU-native equivalent of `conditional_counteRGAN/house_sales_kc_usa/main.py`:
+pretrain-or-load the MLP price-class classifier (class-weighted CE, early
+stopping) -> freeze -> classifier eval -> train-or-load the FiLM+Gumbel
+residual CounteRGAN -> evaluation pipeline: per-target metrics, feature
+shift importance, class-pair sensitivity heatmaps, case-study CSV tree
+(`house eval_utils.py:673-728`).
+
+Run: python -m cfgan.experiments.house_countergan [--epochs N] [--limit N]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfgan.core import checkpoint as ckpt
+from cfgan.data.kc_house import load_kc_house
+from cfgan.eval.classifier import evaluate_classifier
+from cfgan.eval.tabular import (
+    case_study_report,
+    class_pair_sensitivity,
+    feature_shift_importance,
+    immutable_mask,
+    per_target_metrics_from_sweep,
+    sweep_all_targets,
+)
+from cfgan.experiments.presets import HOUSE_COUNTERGAN
+from cfgan.models.classifiers import TabularClassifier
+from cfgan.train.builders import build_tabular_countergan
+from cfgan.train.classifier import make_eval_fn, train_classifier
+from cfgan.train.loop import plot_loss_curves, train_countergan_loop
+from cfgan.train.state import NetState, adam_like_torch
+
+
+def run(cfg=HOUSE_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
+        limit: int | None = None):
+    out_dir = out_dir or os.path.join(cfg.out_dir, cfg.name)
+    os.makedirs(out_dir, exist_ok=True)
+    (xtr, ytr), (xte, yte), stats, bins, schema = load_kc_house(
+        path=cfg.data.path, seed=cfg.data.seed,
+        test_fraction=cfg.data.test_fraction,
+    )
+    if limit:
+        xtr, ytr = xtr[:limit], ytr[:limit]
+        xte, yte = xte[: max(limit // 4, 64)], yte[: max(limit // 4, 64)]
+
+    # ---- stage 1: classifier (house trainer.py:18-176) ----
+    clf_model = TabularClassifier(num_classes=cfg.num_classes)
+    clf_dir = os.path.join(out_dir, "classifier")
+    if ckpt.exists(clf_dir) and not fresh:
+        template = clf_model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(0)},
+            jnp.asarray(xtr[:2]),
+        )
+        restored = ckpt.restore(clf_dir, dict(template))
+        clf_state = NetState.create(restored, adam_like_torch(cfg.classifier.lr))
+        print(f"Loaded classifier from {clf_dir}")
+    else:
+        # stratified valid split (house trainer.py:29-31)
+        from sklearn.model_selection import train_test_split
+
+        itr, iva = train_test_split(
+            np.arange(len(ytr)), test_size=0.15, stratify=ytr,
+            random_state=cfg.seed,
+        )
+        clf_state, _ = train_classifier(
+            clf_model, cfg.classifier, (xtr[itr], ytr[itr]),
+            (xtr[iva], ytr[iva]), seed=cfg.seed, num_classes=cfg.num_classes,
+        )
+        ckpt.save(clf_dir, clf_state.variables(),
+                  metadata={"stats": stats.to_metadata(),
+                            "bins": [float(b) for b in bins]})
+
+    logits_fn, _ = make_eval_fn(clf_model)
+    clf_eval = evaluate_classifier(
+        logits_fn, clf_state, xte, yte,
+        out_dir=os.path.join(out_dir, "classifier_eval"),
+        class_names=[f"Q{i}" for i in range(cfg.num_classes)],
+    )
+    print(f"Classifier test accuracy: {clf_eval['accuracy']:.4f} | "
+          f"weighted F1: {clf_eval['report']['weighted avg']['f1-score']:.4f}")
+
+    # ---- stage 2: CounteRGAN (house trainer.py:186-378) ----
+    bundle = build_tabular_countergan(
+        cfg.countergan, clf_model, clf_state, schema, stats,
+        num_classes=cfg.num_classes, seed=cfg.seed,
+    )
+    gen_dir = os.path.join(out_dir, "generator")
+    if ckpt.exists(gen_dir) and not fresh:
+        g_vars = ckpt.restore(gen_dir, dict(bundle.state.g.variables()))
+        bundle.state = bundle.state.replace(
+            g=NetState.create(g_vars, bundle.tx_g)
+        )
+        state = bundle.state
+        history = {}
+        print(f"Loaded generator from {gen_dir}")
+    else:
+        state, history = train_countergan_loop(
+            bundle, xtr, ytr,
+            epochs=cfg.countergan.epochs,
+            batch_size=cfg.data.batch_size,
+            seed=cfg.seed,
+            log_every=max(1, cfg.countergan.epochs // 10),
+        )
+        ckpt.save(gen_dir, state.g.variables(),
+                  metadata={"stats": stats.to_metadata()})
+        plot_loss_curves(history, os.path.join(out_dir, "loss_curves.png"))
+
+    # ---- stage 3: evaluation (house eval_utils.py:673-728) ----
+    g_vars = state.g.variables()
+    clf_vars = clf_state.variables()
+
+    def clf_fn(x):
+        return clf_model.apply(clf_vars, x, train=False)
+
+    key = jax.random.key(cfg.seed)
+    mask = immutable_mask(len(yte), schema)
+    sweep = sweep_all_targets(
+        bundle.cf_fn, clf_fn, g_vars, xte, mask, cfg.num_classes, key
+    )
+
+    df = per_target_metrics_from_sweep(sweep, xte, yte, cfg.num_classes)
+    df.to_csv(os.path.join(out_dir, "countergan_metrics.csv"), index=False)
+    print(df)
+
+    feature_shift_importance(sweep, xte, yte, schema, stats, out_dir=out_dir)
+    class_pair_sensitivity(sweep, xte, yte, schema, out_dir=out_dir)
+    cs = case_study_report(
+        sweep, xte, yte, schema, stats,
+        out_dir=os.path.join(out_dir, "case_studies"), seed=cfg.seed,
+    )
+    print(f"Case studies: flip rate {cs['flipped'].mean():.3f}, "
+          f"mean sparsity {cs['sparsity'].mean():.3f}")
+    return {"classifier": clf_eval, "per_target": df, "case_studies": cs,
+            "state": state, "history": history}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--clf-epochs", type=int, default=None)
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--out-dir", type=str, default=None)
+    ap.add_argument("--fresh", action="store_true")
+    args = ap.parse_args()
+    from cfgan.core.config import replace as cfg_replace
+
+    cfg = HOUSE_COUNTERGAN
+    if args.epochs is not None:
+        cfg = cfg.replace(countergan=cfg_replace(cfg.countergan,
+                                                 epochs=args.epochs))
+    if args.clf_epochs is not None:
+        cfg = cfg.replace(classifier=cfg_replace(cfg.classifier,
+                                                 epochs=args.clf_epochs))
+    run(cfg, out_dir=args.out_dir, fresh=args.fresh, limit=args.limit)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""MNIST CounteRGAN experiment — the flagship image pipeline.
+
+TPU-native equivalent of `conditional_counteRGAN/mnist/main.py:12-50`:
+pretrain-or-load CNN classifier -> freeze -> classifier eval ->
+train-or-load the residual CounteRGAN -> evaluation pipeline
+(batch metrics, per-target CSV sweep, CF grid, masked-policy metrics,
+per-sample heatmap panels — `mnist/eval_utils.py:572-647`, with the
+reference's tail NameError fixed rather than reproduced).
+
+Run: python -m cfgan.experiments.mnist_countergan [--epochs N] [--limit N]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from cfgan.core import checkpoint as ckpt
+from cfgan.data.mnist import load_mnist
+from cfgan.eval.classifier import evaluate_classifier
+from cfgan.eval.images import (
+    counterfactual_grid,
+    heatmap_panels,
+    patch_grid_overlay,
+    user_modification_example,
+)
+from cfgan.eval.metrics import (
+    evaluate_counterfactual_batch,
+    make_per_target_sweep,
+    masked_metrics,
+    per_target_metrics,
+)
+from cfgan.experiments.presets import MNIST_COUNTERGAN
+from cfgan.masks.patch import random_patch_mask
+from cfgan.models.classifiers import CNNClassifier
+from cfgan.train.builders import build_mnist_countergan
+from cfgan.train.classifier import make_eval_fn, train_classifier
+from cfgan.train.loop import plot_loss_curves, train_countergan_loop
+from cfgan.train.state import NetState, adam_like_torch
+
+
+def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
+        limit: int | None = None):
+    out_dir = out_dir or os.path.join(cfg.out_dir, cfg.name)
+    os.makedirs(out_dir, exist_ok=True)
+    (xtr, ytr), (xva, yva), (xte, yte) = load_mnist(
+        path=cfg.data.path, seed=cfg.data.seed,
+        valid_fraction=cfg.data.valid_fraction, limit=limit,
+    )
+
+    # ---- stage 1: classifier (mnist/main.py:22-33) ----
+    clf_model = CNNClassifier(num_classes=cfg.num_classes)
+    clf_dir = os.path.join(out_dir, "classifier")
+    if ckpt.exists(clf_dir) and not fresh:
+        template = clf_model.init(jax.random.key(0), jnp.asarray(xtr[:2]))
+        restored = ckpt.restore(clf_dir, dict(template))
+        clf_state = NetState.create(restored, adam_like_torch(cfg.classifier.lr))
+        print(f"Loaded classifier from {clf_dir}")
+    else:
+        clf_state, _ = train_classifier(
+            clf_model, cfg.classifier, (xtr, ytr), (xva, yva),
+            seed=cfg.seed, num_classes=cfg.num_classes,
+        )
+        ckpt.save(clf_dir, clf_state.variables())
+
+    logits_fn, _ = make_eval_fn(clf_model)
+    clf_eval = evaluate_classifier(
+        logits_fn, clf_state, xte, yte,
+        out_dir=os.path.join(out_dir, "classifier_eval"),
+    )
+    print(f"Classifier test accuracy: {clf_eval['accuracy']:.4f}")
+
+    # ---- stage 2: CounteRGAN (mnist/main.py:38-47) ----
+    bundle = build_mnist_countergan(
+        cfg.countergan, clf_model, clf_state, num_classes=cfg.num_classes,
+        seed=cfg.seed,
+    )
+    gen_dir = os.path.join(out_dir, "generator")
+    if ckpt.exists(gen_dir) and not fresh:
+        g_vars = ckpt.restore(gen_dir, dict(bundle.state.g.variables()))
+        bundle.state = bundle.state.replace(
+            g=NetState.create(g_vars, bundle.tx_g)
+        )
+        state = bundle.state
+        history = {}
+        print(f"Loaded generator from {gen_dir}")
+    else:
+        state, history = train_countergan_loop(
+            bundle, xtr, ytr,
+            epochs=cfg.countergan.epochs,
+            batch_size=cfg.data.batch_size,
+            seed=cfg.seed,
+        )
+        ckpt.save(gen_dir, state.g.variables())
+        plot_loss_curves(history, os.path.join(out_dir, "gan_losses.png"))
+
+    # ---- stage 3: evaluation pipeline (mnist/eval_utils.py:572-647) ----
+    g_vars = state.g.variables()
+    clf_vars = clf_state.variables()
+
+    def clf_fn(x):
+        return clf_model.apply(clf_vars, x, train=False)
+
+    key = jax.random.key(cfg.seed)
+    xte_j, yte_j = jnp.asarray(xte), jnp.asarray(yte)
+    h, w = xte.shape[1], xte.shape[2]
+    ps = cfg.countergan.mask.patch_size
+
+    # batch metrics, all-ones mask (mnist/eval_utils.py:46-76,609)
+    nb = min(len(yte), 1024)
+    t_rand = jax.random.randint(jax.random.fold_in(key, 1), (nb,), 0,
+                                cfg.num_classes)
+    batch_m, _ = evaluate_counterfactual_batch(
+        bundle.cf_fn, clf_fn, g_vars, xte_j[:nb], yte_j[:nb], t_rand,
+        jnp.ones((nb, h, w, 1), jnp.float32),
+    )
+    pd.DataFrame([batch_m]).to_csv(
+        os.path.join(out_dir, "countergan_metrics.csv"), index=False
+    )
+    print("Batch metrics (all-ones mask):", batch_m)
+
+    # per-target sweep (mnist/eval_utils.py:78-110): all 10 targets x test set
+    sweep = make_per_target_sweep(
+        bundle.cf_fn, clf_fn, cfg.num_classes,
+        exclude_same_class=False,
+        pred_gain_mode="cf_target_minus_cf_true",
+        actionability_mode="x_cf_minus_x",
+    )
+    df = per_target_metrics(
+        sweep, g_vars, xte, yte,
+        mask_fn=lambda b: jnp.ones((b, h, w, 1), jnp.float32),
+        key=key, num_classes=cfg.num_classes, batch_size=1024,
+    )
+    df.to_csv(os.path.join(out_dir, "countergan_metrics_per_class.csv"),
+              index=False)
+    print(df)
+
+    # CF grid (mnist/eval_utils.py:113-201)
+    counterfactual_grid(
+        bundle.cf_fn, clf_fn, g_vars, xte, yte, cfg.num_classes,
+        os.path.join(out_dir, "cf_grid.png"),
+    )
+
+    # masked-policy metrics (mnist/eval_utils.py:204-344): shared vs
+    # per-sample random patch masks at the training patch budget
+    rows = []
+    for policy, shared in (("shared", True), ("per_sample", False)):
+        m = random_patch_mask(
+            jax.random.fold_in(key, 7), nb, (h, w), ps,
+            cfg.countergan.mask.num_modifiable_patches, shared=shared,
+        )
+        x_cf, raw, masked = bundle.cf_fn(g_vars, xte_j[:nb], t_rand, m)
+        mm = masked_metrics(clf_fn, xte_j[:nb], x_cf, raw, masked, m,
+                            yte_j[:nb], t_rand)
+        rows.append({"mask_policy": policy, **mm})
+    pd.DataFrame(rows).to_csv(
+        os.path.join(out_dir, "masked_metrics.csv"), index=False
+    )
+
+    # per-sample heatmap panels (mnist/eval_utils.py:346-441)
+    vis_mask = random_patch_mask(
+        jax.random.fold_in(key, 9), 8, (h, w), ps,
+        cfg.countergan.mask.num_modifiable_patches,
+    )
+    heatmap_panels(
+        bundle.cf_fn, clf_fn, g_vars, xte[:8], yte[:8],
+        t_rand[:8], vis_mask, os.path.join(out_dir, "eval_visuals"), key=key,
+    )
+
+    # numbered patch grid + one promptable single-sample example
+    patch_grid_overlay(xte[0], ps, os.path.join(out_dir, "patch_grid.png"))
+    user_modification_example(
+        bundle.cf_fn, clf_fn, g_vars, xte[0], target=3,
+        patch_indices=list(range(6, 12)), patch_size=ps,
+        path=os.path.join(out_dir, "user_modification_example.png"),
+    )
+
+    return {"classifier": clf_eval, "batch_metrics": batch_m,
+            "per_target": df, "state": state, "history": history}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--clf-epochs", type=int, default=None)
+    ap.add_argument("--limit", type=int, default=None,
+                    help="truncate the dataset (smoke runs)")
+    ap.add_argument("--out-dir", type=str, default=None)
+    ap.add_argument("--fresh", action="store_true")
+    args = ap.parse_args()
+    from cfgan.core.config import replace as cfg_replace
+
+    cfg = MNIST_COUNTERGAN
+    if args.epochs is not None:
+        cfg = cfg.replace(countergan=cfg_replace(cfg.countergan,
+                                                 epochs=args.epochs))
+    if args.clf_epochs is not None:
+        cfg = cfg.replace(classifier=cfg_replace(cfg.classifier,
+                                                 epochs=args.clf_epochs))
+    run(cfg, out_dir=args.out_dir, fresh=args.fresh, limit=args.limit)
+
+
+if __name__ == "__main__":
+    main()

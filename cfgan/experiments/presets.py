@@ -134,8 +134,8 @@ WGAN_GP_MNIST = ExperimentConfig(
     data=DataConfig(name="mnist", batch_size=128),
     countergan=None,
     gan=GANConfig(family="wgan_gp", epochs=20, lr_g=1e-4, lr_d=1e-4,
-                  beta1=0.0, beta2=0.9, latent_dim=32, n_critic=5,
-                  gp_lambda=10.0, sample_every=500),
+                  beta1=0.0, beta2=0.9, latent_dim=32, hidden_dim=1024,
+                  n_critic=5, gp_lambda=10.0, sample_every=500),
 )
 
 # dconv_gan/mnist/mnist_dcgan.py:15-30
@@ -145,7 +145,8 @@ DCGAN_MNIST = ExperimentConfig(
     data=DataConfig(name="mnist", batch_size=128, resize_to=64),
     countergan=None,
     gan=GANConfig(family="dcgan", epochs=5, lr_g=2e-4, lr_d=2e-4,
-                  beta1=0.5, beta2=0.999, latent_dim=100, sample_every=500),
+                  beta1=0.5, beta2=0.999, latent_dim=100, hidden_dim=64,
+                  sample_every=500),
 )
 
 PRESETS = {

@@ -29,3 +29,15 @@ def immutable_complement_mask(batch: int, dim: int, immutable_idx: Sequence[int]
     if len(immutable_idx):
         row = row.at[jnp.asarray(immutable_idx)].set(0.0)
     return jnp.broadcast_to(row, (batch, dim))
+
+
+def feature_names_to_mask(allowed, batch: int, schema):
+    """Per-request mask from a user's allowed-feature list: 1 for allowed
+    mutable features, 0 elsewhere (`house gradio_app.py:150-156` builds the
+    complement immutable set; here the mask is built directly)."""
+    row = jnp.zeros((schema.input_dim,), jnp.float32)
+    idx = [schema.feature_names.index(f) for f in allowed
+           if f in schema.feature_names and f not in schema.immutable_features]
+    if idx:
+        row = row.at[jnp.asarray(idx)].set(1.0)
+    return jnp.broadcast_to(row, (batch, schema.input_dim))

@@ -1,0 +1,142 @@
+"""Promptable counterfactual serving engine.
+
+The serving hot path of the reference is a per-query generator+classifier
+forward (`mnist/eval_utils.py:498-530` via `mnist/gr.py:68-85`,
+`house gradio_app.py:162-163`).  Here it is ONE jitted fused program:
+mask construction happens outside (masks are dense operands, never shapes,
+so arbitrary per-request masks reuse the same executable), then
+G forward -> clamp -> classifier in a single XLA call returning the
+counterfactual, residual, prediction and class probabilities.
+
+Engines are constructed either from live training state or from orbax-style
+checkpoints written by the experiment mains.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfgan.core.config import TabularSchema
+from cfgan.data.transforms import NormStats
+from cfgan.masks.feature import feature_names_to_mask
+from cfgan.masks.patch import patch_indices_to_mask
+
+
+@dataclass
+class CFResult:
+    x_cf: np.ndarray
+    residual: np.ndarray
+    pred: np.ndarray  # (B,) argmax class of the counterfactual
+    confidence: np.ndarray  # (B,) max prob
+    probs: np.ndarray  # (B, C)
+    probs_orig: np.ndarray  # (B, C)
+    flipped: np.ndarray  # (B,) bool, pred == target
+
+
+class CounterfactualEngine:
+    """Fused (x, target, mask) -> counterfactual endpoint."""
+
+    def __init__(
+        self,
+        cf_fn: Callable,  # (g_vars, x, target, mask, key) -> (x_cf, raw, masked)
+        clf_fn: Callable,  # (x,) -> logits
+        g_vars: Any,
+        num_classes: int,
+        patch_size: int | None = None,
+        schema: TabularSchema | None = None,
+        stats: NormStats | None = None,
+    ):
+        self.g_vars = g_vars
+        self.num_classes = num_classes
+        self.patch_size = patch_size
+        self.schema = schema
+        self.stats = stats
+
+        @jax.jit
+        def _serve(g_vars, x, target, mask, key):
+            x_cf, raw, masked = cf_fn(g_vars, x, target, mask, key)
+            logits = clf_fn(x_cf)
+            probs = jax.nn.softmax(logits, axis=1)
+            probs_orig = jax.nn.softmax(clf_fn(x), axis=1)
+            return x_cf, masked, probs, probs_orig
+
+        self._serve = _serve
+        self._classify = jax.jit(lambda x: jax.nn.softmax(clf_fn(x), axis=1))
+
+    # ------------------------------------------------------------- inference
+    def classify(self, x) -> np.ndarray:
+        x = jnp.asarray(x)
+        if x.ndim == self._sample_ndim(x):
+            x = x[None]
+        return np.asarray(self._classify(x))
+
+    def generate(self, x, target, mask=None, key=None) -> CFResult:
+        """Batched counterfactual generation.  `target` may be an int
+        (broadcast) or a per-sample array; `mask` defaults to all-ones with
+        schema immutables zeroed for tabular engines."""
+        x = jnp.asarray(x)
+        squeeze = x.ndim == self._sample_ndim(x)
+        if squeeze:
+            x = x[None]
+        b = x.shape[0]
+        t = jnp.broadcast_to(jnp.asarray(target, jnp.int32), (b,))
+        if mask is None:
+            mask = self.default_mask(b, x.shape)
+        mask = jnp.asarray(mask, x.dtype)
+        if mask.ndim == x.ndim - 1:
+            mask = jnp.broadcast_to(mask[None], x.shape)
+        key = key if key is not None else jax.random.key(0)
+        x_cf, residual, probs, probs_orig = self._serve(
+            self.g_vars, x, t, mask, key
+        )
+        pred = np.asarray(jnp.argmax(probs, axis=1))
+        out = CFResult(
+            x_cf=np.asarray(x_cf),
+            residual=np.asarray(residual),
+            pred=pred,
+            confidence=np.asarray(jnp.max(probs, axis=1)),
+            probs=np.asarray(probs),
+            probs_orig=np.asarray(probs_orig),
+            flipped=pred == np.asarray(t),
+        )
+        return out
+
+    # ------------------------------------------------------------- masks
+    def default_mask(self, batch: int, x_shape) -> jnp.ndarray:
+        mask = jnp.ones((batch,) + tuple(x_shape[1:]), jnp.float32)
+        if self.schema is not None and self.schema.immutable_idx:
+            mask = mask.at[:, jnp.asarray(self.schema.immutable_idx)].set(0.0)
+        return mask
+
+    def mask_from_patches(self, patch_indices: Sequence[int], batch: int,
+                          image_hw: tuple[int, int], channels: int = 1):
+        if self.patch_size is None:
+            raise ValueError("engine has no patch_size (not an image engine)")
+        return patch_indices_to_mask(patch_indices, batch, image_hw,
+                                     self.patch_size, channels)
+
+    def mask_from_feature_names(self, allowed: Sequence[str], batch: int):
+        if self.schema is None:
+            raise ValueError("engine has no schema (not a tabular engine)")
+        return feature_names_to_mask(allowed, batch, self.schema)
+
+    @staticmethod
+    def _sample_ndim(x) -> int:
+        return 3 if x.ndim in (3, 4) else 1
+
+    # ------------------------------------------------------------- loading
+    @classmethod
+    def from_bundle(cls, bundle, clf_model, clf_state, state=None, **kw):
+        state = state if state is not None else bundle.state
+        clf_vars = clf_state.variables()
+        return cls(
+            bundle.cf_fn,
+            lambda x: clf_model.apply(clf_vars, x, train=False),
+            state.g.variables(),
+            bundle.num_classes,
+            **kw,
+        )

@@ -137,10 +137,12 @@ def build_mnist_countergan(
     g_model = ImageResidualGenerator(
         image_hw=image_hw,
         num_classes=num_classes,
+        base_ch=cfg.hidden_dim,
         n_resblocks=cfg.num_res_blocks,
         residual_scaling=cfg.residual_scaling,
     )
-    d_model = CondConvDiscriminator(num_classes=num_classes)
+    d_model = CondConvDiscriminator(num_classes=num_classes,
+                                    d_hidden=cfg.hidden_dim)
     h, w = image_hw
     x0 = jnp.zeros((2, h, w, 1))
     t0 = jnp.zeros((2,), jnp.int32)

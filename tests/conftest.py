@@ -27,3 +27,7 @@ def moons_data():
     from cfgan.data.moons import load_moons3
 
     return load_moons3(seed=42)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: heavier compile-time tests")

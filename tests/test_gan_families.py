@@ -1,0 +1,92 @@
+"""Plain-generation family steps: one compiled step/epoch per family,
+finite losses, and schedule semantics (G-before-D, n_critic gating)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfgan.core.config import GANConfig
+from cfgan.data.moons import load_moons2
+from cfgan.data.pipeline import epoch_perm
+from cfgan.train.gan_builders import build_gan
+
+
+def _leaf0(tree):
+    return np.asarray(jax.tree_util.tree_leaves(tree)[0])
+
+
+def test_simple_mlp_epoch():
+    x, y = load_moons2(seed=0, n_samples=200)
+    b = build_gan(GANConfig(family="simple_mlp", latent_dim=32), seed=1)
+    perm = epoch_perm(jax.random.key(2), len(y), 50)
+    state, m = b.epoch_fn(b.state, jnp.asarray(x), jnp.asarray(y), perm,
+                          jax.random.key(3))
+    assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+    fake = b.sample_fn(state.g.variables(), jnp.zeros((4, 32)))
+    assert fake.shape == (4, 2)
+
+
+def test_cgan_mlp_step_conditions_on_labels():
+    x, y = load_moons2(seed=0, n_samples=64)
+    b = build_gan(GANConfig(family="cgan_mlp", latent_dim=32), num_classes=2,
+                  seed=1)
+    state, m = b.step_fn(b.state, jnp.asarray(x[:32]), jnp.asarray(y[:32]),
+                         jax.random.key(0))
+    assert np.isfinite(float(m["d_loss"]))
+    oh = jax.nn.one_hot(jnp.array([0, 1]), 2)
+    f0 = b.sample_fn(state.g.variables(), jnp.ones((2, 32)), oh)
+    # class conditioning must change the output for the same z
+    assert not np.allclose(f0[0], f0[1])
+
+
+def test_mlp_image_g_before_d():
+    """simple_gan/mnist order: G parameters must move even on step 1 (they
+    update BEFORE D sees the batch)."""
+    b = build_gan(
+        GANConfig(family="mlp_image", latent_dim=100, g_before_d=True),
+        seed=1,
+    )
+    x = jnp.asarray(np.random.RandomState(0)
+                    .uniform(-1, 1, (8, 28, 28, 1)).astype(np.float32))
+    y = jnp.zeros((8,), jnp.int32)
+    g0 = _leaf0(b.state.g.params)
+    state, m = b.step_fn(b.state, x, y, jax.random.key(0))
+    assert not np.allclose(g0, _leaf0(state.g.params))
+    assert np.isfinite(float(m["g_loss"]))
+
+
+@pytest.mark.slow
+def test_wgan_gp_n_critic_schedule():
+    """G updates only on steps where step % n_critic == 0."""
+    b = build_gan(
+        GANConfig(family="wgan_gp", latent_dim=8, hidden_dim=16, n_critic=2,
+                  lr_g=1e-3, lr_d=1e-3, beta1=0.0, beta2=0.9),
+        num_classes=10, seed=1,
+    )
+    x = jnp.asarray(np.random.RandomState(0)
+                    .uniform(-1, 1, (4, 28, 28, 1)).astype(np.float32))
+    y = jnp.asarray([0, 1, 2, 3])
+    step = jax.jit(b.step_fn)
+    # step 0: G updates
+    s1, m1 = step(b.state, x, y, jax.random.key(0))
+    g_after_0 = _leaf0(s1.g.params)
+    assert not np.allclose(_leaf0(b.state.g.params), g_after_0)
+    # step 1: 1 % 2 != 0 -> G frozen, g_loss reported as 0
+    s2, m2 = step(s1, x, y, jax.random.key(1))
+    np.testing.assert_allclose(g_after_0, _leaf0(s2.g.params))
+    assert float(m2["g_loss"]) == 0.0
+    assert np.isfinite(float(m2["d_loss"]))
+
+
+@pytest.mark.slow
+def test_dcgan_step_64px():
+    b = build_gan(GANConfig(family="dcgan", latent_dim=16, hidden_dim=8),
+                  seed=1)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .uniform(-1, 1, (4, 64, 64, 1)).astype(np.float32))
+    y = jnp.zeros((4,), jnp.int32)
+    state, m = b.step_fn(b.state, x, y, jax.random.key(0))
+    assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+    fake = b.sample_fn(state.g.variables(), jnp.zeros((2, 16)))
+    assert fake.shape == (2, 64, 64, 1)
+    assert float(jnp.max(jnp.abs(fake))) <= 1.0  # tanh output

@@ -1,0 +1,111 @@
+"""Serving layer: fused CF engine semantics + intent parsing."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfgan.core.config import ClassifierConfig, CounterGANConfig
+from cfgan.data.kc_house import KC_SCHEMA
+from cfgan.models.classifiers import MLPClassifier
+from cfgan.serve.engine import CounterfactualEngine
+from cfgan.serve.intent import (
+    extract_action,
+    parse_feature_instruction,
+    parse_feature_instruction_llm,
+    strip_action,
+)
+from cfgan.train.builders import build_moons_countergan
+from cfgan.train.classifier import train_classifier
+
+
+@pytest.fixture(scope="module")
+def moons_engine(request):
+    from cfgan.data.moons import load_moons3
+
+    (xtr, ytr), (xte, yte), _ = load_moons3(seed=42)
+    clf_model = MLPClassifier()
+    clf_state, _ = train_classifier(
+        clf_model, ClassifierConfig(lr=1e-2, steps=50), (xtr, ytr), seed=1
+    )
+    bundle = build_moons_countergan(
+        CounterGANConfig(), clf_model, clf_state, seed=3
+    )
+    eng = CounterfactualEngine.from_bundle(bundle, clf_model, clf_state)
+    return eng, xte, yte
+
+
+def test_engine_zero_mask_is_identity(moons_engine):
+    eng, xte, yte = moons_engine
+    x = xte[:16]
+    res = eng.generate(x, target=1, mask=np.zeros_like(x))
+    np.testing.assert_array_equal(res.x_cf, x)
+    np.testing.assert_array_equal(res.residual, np.zeros_like(x))
+
+
+def test_engine_single_sample_and_flip_flag(moons_engine):
+    eng, xte, yte = moons_engine
+    res = eng.generate(xte[0], target=2)
+    assert res.x_cf.shape == (1, 2)
+    assert res.pred.shape == (1,)
+    assert res.flipped[0] == (res.pred[0] == 2)
+    assert res.probs.shape == (1, 3)
+    np.testing.assert_allclose(res.probs.sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_engine_classify_matches_probs_orig(moons_engine):
+    eng, xte, yte = moons_engine
+    x = xte[:8]
+    res = eng.generate(x, target=0)
+    np.testing.assert_allclose(eng.classify(x), res.probs_orig, rtol=1e-5)
+
+
+# ------------------------------------------------------------------ intent
+def test_extract_action_valid_and_invalid():
+    ok = extract_action(
+        'hi <!-- {"action": "transform_digit", "target": 7, "patches": [0, 3]} -->'
+    )
+    assert ok == {"action": "transform_digit", "target": 7, "patches": [0, 3]}
+    assert extract_action("no action here") is None
+    assert extract_action('<!-- {"action": "show_digit", "value": 42} -->') is None
+    assert extract_action(
+        '<!-- {"action": "transform_digit", "target": 1, "patches": [99]} -->'
+    ) is None
+    assert extract_action('<!-- {"action": "transform_digit", "target": 1, '
+                          '"patches": []} -->') is None
+
+
+def test_strip_action_removes_comment():
+    assert strip_action('Sure! <!-- {"action": "show_digit", "value": 1} -->') \
+        == "Sure!"
+
+
+def test_parse_feature_instruction_synonyms_and_immutables():
+    out = parse_feature_instruction(
+        "feel free to change the bathrooms, the lot size and the latitude",
+        KC_SCHEMA,
+    )
+    assert "bathrooms" in out and "sqft_lot" in out
+    assert "lat" not in out  # immutable never returned
+    assert parse_feature_instruction("change everything", KC_SCHEMA) == [
+        f for f in KC_SCHEMA.feature_names
+        if f not in KC_SCHEMA.immutable_features
+    ]
+
+
+def test_parse_feature_instruction_llm_falls_back(monkeypatch):
+    # no provider keys set -> regex fallback path
+    monkeypatch.delenv("GEMINI_API_KEY", raising=False)
+    monkeypatch.delenv("GOOGLE_API_KEY", raising=False)
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    out = parse_feature_instruction_llm("only the grade", KC_SCHEMA)
+    assert out == ["grade"]
+
+
+def test_mask_from_feature_names():
+    eng = CounterfactualEngine.__new__(CounterfactualEngine)
+    eng.schema = KC_SCHEMA
+    m = np.asarray(eng.mask_from_feature_names(["bedrooms", "lat"], 2))
+    assert m.shape == (2, 17)
+    assert m[0, KC_SCHEMA.feature_names.index("bedrooms")] == 1.0
+    assert m[0, KC_SCHEMA.feature_names.index("lat")] == 0.0  # immutable
+    assert m.sum() == 2.0
