@@ -84,7 +84,8 @@ def plot_decision_boundaries_and_cfs(
     return paths
 
 
-def plot_decision_boundaries_only(clf_fn, x, y, out_path: str, num_classes: int = 3):
+def plot_decision_boundaries_only(clf_fn, x, y, out_path: str,
+                                  num_classes: int = 3, highlight=None):
     import matplotlib
 
     matplotlib.use("Agg")
@@ -97,6 +98,10 @@ def plot_decision_boundaries_only(clf_fn, x, y, out_path: str, num_classes: int 
                 levels=np.arange(num_classes + 1) - 0.5)
     ax.scatter(np.asarray(x)[:, 0], np.asarray(x)[:, 1], c=np.asarray(y), s=6,
                cmap="viridis")
+    if highlight is not None:
+        h = np.asarray(highlight)
+        ax.scatter([h[0]], [h[1]], marker="*", s=220, c="red",
+                   edgecolors="black", zorder=5)
     ax.set_title("Decision boundaries")
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)

@@ -55,6 +55,8 @@ class CounterfactualEngine:
         self.patch_size = patch_size
         self.schema = schema
         self.stats = stats
+        self.cf_fn = cf_fn  # raw fused fns, reused by eval visual helpers
+        self.clf_fn = clf_fn
 
         @jax.jit
         def _serve(g_vars, x, target, mask, key):

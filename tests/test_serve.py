@@ -109,3 +109,43 @@ def test_mask_from_feature_names():
     assert m[0, KC_SCHEMA.feature_names.index("bedrooms")] == 1.0
     assert m[0, KC_SCHEMA.feature_names.index("lat")] == 0.0  # immutable
     assert m.sum() == 2.0
+
+
+# -------------------------------------------------------------- chat backend
+def test_mnist_chat_backend_deterministic(tmp_path):
+    """Chat state machine without an LLM: show -> patch-grid image, then
+    transform -> 4-panel result, residual confined to the named patches."""
+    import jax.numpy as jnp
+    from cfgan.serve.apps import MnistChatBackend
+
+    H = W = 14
+
+    def cf_fn(g_vars, x, target, mask, key=None):
+        raw = 0.2 * jnp.ones_like(x)
+        return jnp.clip(x + raw * mask, -1, 1), raw, raw * mask
+
+    Wm = jax.random.normal(jax.random.key(0), (H * W, 4))
+
+    def clf_fn(x):
+        return x.reshape(x.shape[0], -1) @ Wm
+
+    eng = CounterfactualEngine(cf_fn, clf_fn, {}, num_classes=4, patch_size=7)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, (40, H, W, 1)).astype(np.float32)
+    y = rng.randint(0, 4, 40)
+    y[:4] = np.arange(4)
+    backend = MnistChatBackend(eng, x, y, patch_size=7, llm=False)
+    assert backend.llm is None
+
+    text, img = backend.reply("please show me a 2", [])
+    assert img is not None and img.endswith(".png")
+    assert backend.current_idx is not None
+    assert y[backend.current_idx] == 2
+
+    text, img = backend.reply("turn it into a 3 using patches 0, 1", [])
+    assert "classifier says" in text
+    assert img.endswith(".png")
+
+    # unparseable message -> help text, no image
+    text, img = backend.reply("what is the weather", [])
+    assert img is None
