@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from cfgan.core.config import CounterGANConfig
 from cfgan.losses import countergan as cg_losses
 from cfgan.losses import gan as gan_losses
+from cfgan.ops.epilogue import cf_epilogue, epilogue_terms
 from cfgan.train.state import GANState, NetState
 
 
@@ -64,13 +65,11 @@ def make_countergan_step(
     """Returns step(state, x, y, key) -> (state, metrics)."""
 
     clamp = cfg.clamp_cf
+    lo, hi = clamp if clamp is not None else (-1e30, 1e30)
     use_bce = cfg.adv_loss == "bce"
-
-    def make_cf(x, masked):
-        x_cf = x + masked
-        if clamp is not None:
-            x_cf = jnp.clip(x_cf, clamp[0], clamp[1])
-        return x_cf
+    # the fused Pallas epilogue (cfgan.ops.epilogue) on TPU; identical jnp
+    # formulation elsewhere
+    fused = jax.default_backend() == "tpu"
 
     def step(state: GANState, x, y, key):
         k_t, k_m, k_g = jax.random.split(jax.random.fold_in(key, state.step), 3)
@@ -89,7 +88,9 @@ def make_countergan_step(
         (raw, masked), g_vjp, new_g_stats = jax.vjp(
             g_fn, state.g.params, has_aux=True
         )
-        x_cf = jax.lax.stop_gradient(make_cf(x, masked))
+        x_cf = jax.lax.stop_gradient(
+            cf_epilogue(x, raw, mask, lo, hi, fused)[0]
+        )
 
         # ---- discriminator update (real/fake batched into one pass) ----
         xx = jnp.concatenate([x, x_cf], axis=0)
@@ -111,32 +112,39 @@ def make_countergan_step(
         d_new = state.d.apply_grads(tx_d, d_grads, new_stats=new_d_stats)
 
         # ---- generator update through the UPDATED discriminator ----
-        def g_terms_fn(raw_in, masked_in):
-            cf = make_cf(x, masked_in)
+        # The counterfactual + all three proximity/penalty reductions come
+        # from ONE fused epilogue pass (cfgan.ops.epilogue); its custom VJP
+        # routes the whole gradient through raw_residual (masked = raw*mask
+        # is recomputed in-kernel), so the masked-output cotangent is zero.
+        n_features = 1
+        for d in x.shape[1:]:
+            n_features *= d
+
+        def g_terms_fn(raw_in):
+            cf, l1s, l2s, pens = cf_epilogue(x, raw_in, mask, lo, hi, fused)
             scores, _ = d_forward(d_new.params, d_new.stats, cf, t, t_oh, False)
             adv = gan_losses.g_loss_bce(scores) if use_bce else (
                 gan_losses.g_loss_wasserstein(scores)
             )
             logits = clf_forward(cf)
-            terms = cg_losses.countergan_g_terms(
-                adv,
-                logits,
-                t,
-                masked_in,
-                raw_in,
-                mask,
-                lambda_adv=cfg.lambda_adv,
-                lambda_cls=cfg.lambda_cls,
-                lambda_reg_l1=cfg.lambda_reg_l1,
-                lambda_reg_l2=cfg.lambda_reg_l2,
-                lambda_mask=cfg.lambda_mask,
-                reg_reduction=cfg.reg_reduction,
+            cls = cg_losses.classifier_ce(logits, t)
+            l1, l2, pen = epilogue_terms(l1s, l2s, pens, n_features,
+                                         cfg.reg_reduction)
+            if not cfg.lambda_reg_l2:
+                l2 = jnp.zeros(())
+            total = (
+                cfg.lambda_adv * adv
+                + cfg.lambda_cls * cls
+                + cfg.lambda_reg_l1 * l1
+                + cfg.lambda_reg_l2 * l2
+                + cfg.lambda_mask * pen
             )
-            return terms.total, (terms, logits)
+            terms = cg_losses.CounterGANTerms(adv, cls, l1, l2, pen, total)
+            return total, (terms, logits)
 
-        g_grad_fn = jax.value_and_grad(g_terms_fn, argnums=(0, 1), has_aux=True)
-        (g_total, (terms, cf_logits)), (ct_raw, ct_masked) = g_grad_fn(raw, masked)
-        (g_grads,) = g_vjp((ct_raw, ct_masked))
+        g_grad_fn = jax.value_and_grad(g_terms_fn, has_aux=True)
+        (g_total, (terms, cf_logits)), ct_raw = g_grad_fn(raw)
+        (g_grads,) = g_vjp((ct_raw, jnp.zeros_like(masked)))
         g_new = state.g.apply_grads(tx_g, g_grads, new_stats=new_g_stats)
 
         # ---- on-device diagnostics (reference prints these per batch) ----
