@@ -82,10 +82,15 @@ class CounterGANConfig:
     lambda_reg_l1: float = 1.0
     lambda_reg_l2: float = 0.0  # moons uses both L1 and L2
     lambda_mask: float = 1.0
-    adv_loss: str = "wasserstein"  # wasserstein | bce  (mnist uses bce)
+    # wasserstein | bce | clipped_log (legacy countergan2 sigmoid-D losses
+    # log(d + 1e-6), `mnist/countergan2.py:188,198`)
+    adv_loss: str = "wasserstein"
     reg_reduction: str = "per_sample_norm"  # per_sample_norm | mean_abs
     clamp_cf: tuple[float, float] | None = None  # mnist clamps to (-1, 1)
     resample_target: bool = True  # force target != source (tabular/moons)
+    # legacy fixed-target mode (`mnist/gan_train.py:17` trains toward ONE
+    # class for the whole run); None => per-sample random targets
+    fixed_target: int | None = None
     hidden_dim: int = 32
     num_res_blocks: int = 5
     residual_scaling: float = 0.1

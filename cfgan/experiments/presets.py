@@ -162,3 +162,30 @@ PRESETS = {
         DCGAN_MNIST,
     )
 }
+
+# legacy superseded stack: fixed-target delta CounteRGAN
+# (mnist/gan_train.py:17-30: target_class 5, lambda_cls 3, lambda_reg .05;
+# countergan2.py clipped log losses)
+MNIST_COUNTERGAN_LEGACY = ExperimentConfig(
+    name="mnist_countergan_legacy",
+    seed=42,
+    num_classes=10,
+    data=DataConfig(name="mnist", batch_size=128, valid_fraction=0.1),
+    classifier=ClassifierConfig(arch="cnn", lr=1e-3, epochs=10, batch_size=128),
+    countergan=CounterGANConfig(
+        epochs=20,
+        lr_g=5e-5,
+        lr_d=1e-5,
+        lambda_adv=1.0,
+        lambda_cls=3.0,
+        lambda_reg_l1=0.05,
+        lambda_mask=0.0,
+        adv_loss="clipped_log",
+        reg_reduction="mean_abs",
+        clamp_cf=(-1.0, 1.0),
+        fixed_target=5,
+        resample_target=False,
+        hidden_dim=32,
+    ),
+)
+PRESETS[MNIST_COUNTERGAN_LEGACY.name] = MNIST_COUNTERGAN_LEGACY

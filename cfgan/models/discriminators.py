@@ -147,3 +147,22 @@ class WGANCritic(nn.Module):
         h = jnp.concatenate([h, vc], axis=1)
         h = leaky_relu(Linear(self.hidden_size, name="fc0")(h), 0.2)
         return Linear(1, name="fc_out")(h)
+
+
+class ConvDiscriminator(nn.Module):
+    """Legacy unconditional flat conv discriminator
+    (`mnist/modules/discriminator.py:4-23`): strided convs -> pooled logit.
+    Accepts-and-ignores a condition argument so it is interchangeable with
+    the conditional discriminator in the CounteRGAN step."""
+
+    d_hidden: int = 64
+
+    @nn.compact
+    def __call__(self, x, cond_idx=None):
+        z = x
+        for i, ch in enumerate((self.d_hidden, self.d_hidden * 2,
+                                self.d_hidden * 4)):
+            z = Conv(ch, 3, 2, 1, name=f"conv{i}")(z)
+            z = leaky_relu(z, 0.2)
+        z = jnp.mean(z, axis=(1, 2))
+        return Linear(1, name="head")(z)

@@ -235,3 +235,30 @@ class WGANGenerator(nn.Module):
             h = jax.nn.relu(h)
         h = ConvTranspose(1, 4, 2, 1, name="tconv_out")(h)
         return jnp.tanh(h)
+
+
+class DeltaImageGenerator(nn.Module):
+    """Legacy mask-free delta generator (superseded stack,
+    `mnist/modules/generator.py:4-22`, used by `mnist/gan_train.py:115-148`
+    and `countergan2.py`): conv encoder -> tanh-bounded additive delta.
+    Conditioning is a label plane like the current generator so the legacy
+    fixed-target/random-target trainers share one interface; returns
+    (raw_delta, raw_delta) — there is no mask in this family, the framework
+    treats it as mask == ones."""
+
+    num_classes: int = 10
+    base_ch: int = 32
+    delta_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, target, mask=None, train: bool = True):
+        b, h, w, c = x.shape
+        plane = Embed(self.num_classes, h * w, embedding_init=cinit.normal(0.01),
+                      name="embed")(target).reshape(b, h, w, 1)
+        z = jnp.concatenate([x, plane], axis=-1)
+        z = leaky_relu(Conv(self.base_ch, 3, 1, 1, name="conv0")(z))
+        z = BatchNorm(name="bn0")(z, use_running_average=not train)
+        z = leaky_relu(Conv(self.base_ch, 3, 1, 1, name="conv1")(z))
+        z = BatchNorm(name="bn1")(z, use_running_average=not train)
+        delta = jnp.tanh(Conv(c, 3, 1, 1, name="conv_out")(z)) * self.delta_scale
+        return delta, delta

@@ -133,16 +133,29 @@ def build_mnist_countergan(
     image_hw: tuple[int, int] = (28, 28),
     seed: int = 42,
     diagnostics: bool = True,
+    legacy_delta: bool = False,
 ):
-    g_model = ImageResidualGenerator(
-        image_hw=image_hw,
-        num_classes=num_classes,
-        base_ch=cfg.hidden_dim,
-        n_resblocks=cfg.num_res_blocks,
-        residual_scaling=cfg.residual_scaling,
-    )
-    d_model = CondConvDiscriminator(num_classes=num_classes,
-                                    d_hidden=cfg.hidden_dim)
+    """`legacy_delta=True` selects the superseded delta-generator family
+    (mask-free tanh delta G + unconditional conv D, `mnist/gan_train.py` /
+    `countergan2.py`), typically with `cfg.fixed_target` set and
+    `cfg.adv_loss='clipped_log'`."""
+    if legacy_delta:
+        from cfgan.models.discriminators import ConvDiscriminator
+        from cfgan.models.generators import DeltaImageGenerator
+
+        g_model = DeltaImageGenerator(num_classes=num_classes,
+                                      base_ch=cfg.hidden_dim)
+        d_model = ConvDiscriminator(d_hidden=cfg.hidden_dim)
+    else:
+        g_model = ImageResidualGenerator(
+            image_hw=image_hw,
+            num_classes=num_classes,
+            base_ch=cfg.hidden_dim,
+            n_resblocks=cfg.num_res_blocks,
+            residual_scaling=cfg.residual_scaling,
+        )
+        d_model = CondConvDiscriminator(num_classes=num_classes,
+                                        d_hidden=cfg.hidden_dim)
     h, w = image_hw
     x0 = jnp.zeros((2, h, w, 1))
     t0 = jnp.zeros((2,), jnp.int32)
@@ -164,14 +177,17 @@ def build_mnist_countergan(
     def clf_forward(x):
         return clf_model.apply(clf_vars, x, train=False)
 
-    mask_sampler = lambda key, x: random_patch_mask(
-        key,
-        x.shape[0],
-        image_hw,
-        cfg.mask.patch_size,
-        cfg.mask.num_modifiable_patches,
-        channels=x.shape[-1],
-    )
+    if legacy_delta:
+        mask_sampler = lambda key, x: jnp.ones_like(x)  # no masks in legacy
+    else:
+        mask_sampler = lambda key, x: random_patch_mask(
+            key,
+            x.shape[0],
+            image_hw,
+            cfg.mask.patch_size,
+            cfg.mask.num_modifiable_patches,
+            channels=x.shape[-1],
+        )
 
     step_fn = make_countergan_step(
         cfg=cfg, num_classes=num_classes, g_forward=g_forward,

@@ -67,13 +67,17 @@ def make_countergan_step(
     clamp = cfg.clamp_cf
     lo, hi = clamp if clamp is not None else (-1e30, 1e30)
     use_bce = cfg.adv_loss == "bce"
+    clipped = cfg.adv_loss == "clipped_log"
     # the fused Pallas epilogue (cfgan.ops.epilogue) on TPU; identical jnp
     # formulation elsewhere
     fused = jax.default_backend() == "tpu"
 
     def step(state: GANState, x, y, key):
         k_t, k_m, k_g = jax.random.split(jax.random.fold_in(key, state.step), 3)
-        t = sample_targets(k_t, y, num_classes, cfg.resample_target)
+        if cfg.fixed_target is not None:
+            t = jnp.full(y.shape, cfg.fixed_target, jnp.int32)
+        else:
+            t = sample_targets(k_t, y, num_classes, cfg.resample_target)
         y_oh = jax.nn.one_hot(y, num_classes, dtype=x.dtype)
         t_oh = jax.nn.one_hot(t, num_classes, dtype=x.dtype)
         mask = mask_sampler(k_m, x)
@@ -102,6 +106,10 @@ def make_countergan_step(
             real, fake = jnp.split(scores, 2, axis=0)
             if use_bce:
                 loss = gan_losses.d_loss_bce(real, fake)
+            elif clipped:
+                loss = gan_losses.d_loss_nonsaturating(
+                    jax.nn.sigmoid(real), jax.nn.sigmoid(fake), eps=1e-6
+                )
             else:
                 loss = gan_losses.d_loss_wasserstein(real, fake)
             return loss, (new_d_stats, real, fake)
@@ -123,9 +131,14 @@ def make_countergan_step(
         def g_terms_fn(raw_in):
             cf, l1s, l2s, pens = cf_epilogue(x, raw_in, mask, lo, hi, fused)
             scores, _ = d_forward(d_new.params, d_new.stats, cf, t, t_oh, False)
-            adv = gan_losses.g_loss_bce(scores) if use_bce else (
-                gan_losses.g_loss_wasserstein(scores)
-            )
+            if use_bce:
+                adv = gan_losses.g_loss_bce(scores)
+            elif clipped:
+                adv = gan_losses.g_loss_nonsaturating(
+                    jax.nn.sigmoid(scores), eps=1e-6
+                )
+            else:
+                adv = gan_losses.g_loss_wasserstein(scores)
             logits = clf_forward(cf)
             cls = cg_losses.classifier_ce(logits, t)
             l1, l2, pen = epilogue_terms(l1s, l2s, pens, n_features,

@@ -22,15 +22,29 @@ def train_countergan_loop(
     log: Callable[[str], None] = print,
     log_every: int = 1,
     history: dict | None = None,
+    mesh=None,
 ):
     """Runs `epochs` compiled epochs; returns (final state, history).
 
     One host sync per epoch (metric means), mirroring the reference's
     per-epoch summary lines (`moons/trainer.py:110-118`) without its
-    per-batch `.item()` stalls."""
+    per-batch `.item()` stalls.
+
+    Pass a `jax.sharding.Mesh` to train data-parallel: the dataset is laid
+    out along the mesh's first axis, parameters/optimizer state are
+    replicated, and the same compiled epoch runs with XLA-inserted gradient
+    reductions over ICI (capability uplift over the single-device reference,
+    SURVEY.md section 2.9)."""
     state = bundle.state
-    x = jnp.asarray(x_train)
-    y = jnp.asarray(y_train)
+    if mesh is not None:
+        from cfgan.parallel.sharding import replicate, shard_batch
+
+        state = replicate(mesh, state)
+        x, y = shard_batch(mesh, (jnp.asarray(x_train), jnp.asarray(y_train)),
+                           axis=mesh.axis_names[0])
+    else:
+        x = jnp.asarray(x_train)
+        y = jnp.asarray(y_train)
     n = len(y_train)
     key = jax.random.key(seed)
     history = history if history is not None else {}

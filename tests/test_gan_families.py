@@ -90,3 +90,39 @@ def test_dcgan_step_64px():
     fake = b.sample_fn(state.g.variables(), jnp.zeros((2, 16)))
     assert fake.shape == (2, 64, 64, 1)
     assert float(jnp.max(jnp.abs(fake))) <= 1.0  # tanh output
+
+
+@pytest.mark.slow
+def test_legacy_fixed_target_delta_countergan():
+    """Legacy stack: delta G (mask-free), unconditional conv D, clipped log
+    losses, ONE fixed target class for the whole run."""
+    from cfgan.core.config import CounterGANConfig
+    from cfgan.models.classifiers import CNNClassifier
+    from cfgan.train.builders import build_mnist_countergan
+    from cfgan.train.state import NetState, adam_like_torch
+
+    cfg = CounterGANConfig(
+        adv_loss="clipped_log", reg_reduction="mean_abs",
+        clamp_cf=(-1.0, 1.0), fixed_target=5, resample_target=False,
+        lambda_cls=3.0, lambda_reg_l1=0.05, lambda_mask=0.0, hidden_dim=8,
+    )
+    clf = CNNClassifier()
+    clf_state = NetState.create(
+        clf.init(jax.random.key(1), jnp.zeros((2, 28, 28, 1)), train=False),
+        adam_like_torch(1e-3),
+    )
+    b = build_mnist_countergan(cfg, clf, clf_state, seed=0, legacy_delta=True)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .uniform(-1, 1, (8, 28, 28, 1)).astype(np.float32))
+    y = jnp.asarray(np.random.RandomState(1).randint(0, 10, 8))
+    state, m = jax.jit(b.step_fn)(b.state, x, y, jax.random.key(2))
+    assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+    # every generated counterfactual targets class 5
+    assert float(m["flip_rate"]) >= 0.0  # metric exists under fixed target
+    # delta generator: raw == masked (no mask), output bounded by tanh
+    x_cf, raw, masked = b.cf_fn(
+        b.state.g.variables(), x, jnp.full((8,), 5, jnp.int32),
+        jnp.ones_like(x),
+    )
+    np.testing.assert_allclose(np.asarray(raw), np.asarray(masked))
+    assert float(jnp.max(jnp.abs(raw))) <= 1.0

@@ -65,3 +65,24 @@ def test_sharded_epoch_matches_single_device(moons_data):
             float(m_single[k]), float(m_shard[k]), rtol=2e-4, atol=1e-5,
             err_msg=k,
         )
+
+
+def test_train_loop_mesh_option(moons_data):
+    """train_countergan_loop(mesh=...) runs data-parallel end-to-end."""
+    from cfgan.train.loop import train_countergan_loop
+
+    (xtr, ytr), _, _ = moons_data
+    clf_model = MLPClassifier()
+    clf_state, _ = train_classifier(
+        clf_model, ClassifierConfig(lr=1e-2, steps=30), (xtr, ytr), seed=1
+    )
+    bundle = build_moons_countergan(CounterGANConfig(), clf_model, clf_state,
+                                    seed=5)
+    mesh = create_mesh()
+    state, hist = train_countergan_loop(
+        bundle, xtr, ytr, epochs=2, batch_size=64, seed=0, mesh=mesh,
+        log_every=0,
+    )
+    assert np.isfinite(hist["g_loss"][-1])
+    leaf = jax.tree_util.tree_leaves(state.g.params)[0]
+    assert leaf.sharding.is_fully_replicated
