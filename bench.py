@@ -37,6 +37,18 @@ def log(msg: str) -> None:
 # --------------------------------------------------------------- cfgan side
 def bench_cfgan():
     import jax
+
+    # persistent compilation cache: the first fused-step compile through the
+    # remote-compile tunnel costs minutes; cache it across bench runs
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:
+        log(f"[cfgan] compilation cache unavailable: {e}")
     import jax.numpy as jnp
     import numpy as np
 

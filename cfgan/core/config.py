@@ -95,6 +95,10 @@ class CounterGANConfig:
     num_res_blocks: int = 5
     residual_scaling: float = 0.1
     gumbel_tau: float = 0.5
+    # mixed precision: "bfloat16" runs G/D/classifier forwards+backwards on
+    # the MXU in bf16 with float32 parameters, optimizer state and losses
+    # (capability uplift; float32 default matches reference numerics)
+    compute_dtype: str = "float32"
     mask: MaskConfig = field(default_factory=MaskConfig)
 
 

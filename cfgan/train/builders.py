@@ -45,6 +45,37 @@ class CounterGANBundle:
     num_classes: int
 
 
+def _cast_floats(tree, dtype):
+    """Cast floating leaves of a pytree (params/stats/activations)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )
+
+
+def make_mixed_precision(apply_fn, compute_dtype: str):
+    """Wrap an apply-style fn (params, stats, *arrays, **kw) so the forward
+    (and, through jax.vjp's transpose of the casts, the backward) runs in
+    `compute_dtype` while parameters, optimizer state and loss math stay
+    float32.  Identity when compute_dtype == 'float32'."""
+    if compute_dtype == "float32":
+        return apply_fn
+    cd = jnp.dtype(compute_dtype)
+
+    def wrapped(params, stats, *arrays, **kw):
+        params = _cast_floats(params, cd)
+        stats = _cast_floats(stats, cd)
+        arrays = tuple(_cast_floats(a, cd) for a in arrays)
+        out, new_stats = apply_fn(params, stats, *arrays, **kw)
+        return _cast_floats(out, jnp.float32), _cast_floats(
+            new_stats, jnp.float32
+        )
+
+    return wrapped
+
+
 def _init_state(g_model, d_model, g_inputs, d_inputs, cfg, key):
     kg, kd = jax.random.split(key)
     g_vars = g_model.init({"params": kg, "gumbel": kg}, *g_inputs, train=False)
@@ -174,8 +205,20 @@ def build_mnist_countergan(
     def d_forward(params, stats, x, t, t_oh, train):
         return d_model.apply({"params": params, **stats}, x, t), stats
 
-    def clf_forward(x):
-        return clf_model.apply(clf_vars, x, train=False)
+    g_forward = make_mixed_precision(g_forward, cfg.compute_dtype)
+    d_forward = make_mixed_precision(d_forward, cfg.compute_dtype)
+
+    if cfg.compute_dtype != "float32":
+        cd = jnp.dtype(cfg.compute_dtype)
+        clf_vars_cast = _cast_floats(clf_vars, cd)
+
+        def clf_forward(x):
+            logits = clf_model.apply(clf_vars_cast, x.astype(cd), train=False)
+            return logits.astype(jnp.float32)
+    else:
+
+        def clf_forward(x):
+            return clf_model.apply(clf_vars, x, train=False)
 
     if legacy_delta:
         mask_sampler = lambda key, x: jnp.ones_like(x)  # no masks in legacy
