@@ -136,6 +136,15 @@ def run(cfg=HOUSE_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
     )
     print(f"Case studies: flip rate {cs['flipped'].mean():.3f}, "
           f"mean sparsity {cs['sparsity'].mean():.3f}")
+
+    # mask-policy analysis — the module the reference imports but never
+    # shipped (`house eval_utils.py:19-22`), implemented for real here
+    from cfgan.eval.mask_analysis import analyze_mask_policies
+
+    analyze_mask_policies(
+        bundle.cf_fn, clf_fn, g_vars, xte, yte, schema, cfg.num_classes,
+        key=key, out_dir=out_dir,
+    )
     return {"classifier": clf_eval, "per_target": df, "case_studies": cs,
             "state": state, "history": history}
 

@@ -150,6 +150,11 @@ def train_classifier(
         steps = perm.shape[0]
         return jax.lax.scan(body, state, (jnp.arange(steps), perm))
 
+    def snapshot(st):
+        # run_epoch donates its input state; a kept "best" reference would
+        # alias buffers that the next epoch invalidates -> copy them
+        return jax.tree_util.tree_map(jnp.array, st)
+
     best_acc, best_state = -1.0, state
     lr_scale = 1.0
     plateau_wait, stop_wait = 0, 0
@@ -165,7 +170,7 @@ def train_classifier(
             log(f"[Classifier] Epoch {epoch+1}/{cfg.epochs} | loss {mean_loss:.4f}"
                 f" | Val Acc: {acc:.4f}")
             if acc > best_acc:
-                best_acc, best_state = acc, state
+                best_acc, best_state = acc, snapshot(state)
                 plateau_wait, stop_wait = 0, 0
             else:
                 plateau_wait += 1

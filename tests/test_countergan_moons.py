@@ -91,3 +91,23 @@ def test_training_is_deterministic(moons_data):
 
     a, b = one_epoch(), one_epoch()
     assert a == b
+
+
+def test_best_classifier_state_survives_donation(moons_data):
+    """Regression: run_epoch donates its input state; the kept best-val-acc
+    snapshot must not alias the donated buffers (crashed the house pipeline
+    with 'Array has been deleted')."""
+    from cfgan.core.config import ClassifierConfig
+    from cfgan.models.classifiers import MLPClassifier
+    from cfgan.train.classifier import train_classifier
+
+    (xtr, ytr), (xte, yte), _ = moons_data
+    # absurd lr so validation accuracy fluctuates and "best" is an EARLY
+    # epoch whose buffers get donated by later epochs
+    state, hist = train_classifier(
+        MLPClassifier(),
+        ClassifierConfig(lr=5.0, epochs=6, batch_size=64),
+        (xtr, ytr), (xte, yte), seed=0, log=lambda *_: None,
+    )
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)

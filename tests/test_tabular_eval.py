@@ -123,3 +123,46 @@ def test_report_artifacts(house_setup, tmp_path):
     )
     sample_dirs = os.listdir(os.path.join(out, "cs", "samples"))
     assert len(sample_dirs) >= 1
+
+
+def test_mask_policy_analysis(house_setup, tmp_path):
+    """Mask-policy sweep: right policy set, immutables never modifiable."""
+    from cfgan.core.config import CounterGANConfig
+    from cfgan.eval.mask_analysis import analyze_mask_policies
+    from cfgan.train.builders import build_tabular_countergan
+    from cfgan.data.kc_house import load_kc_house
+    from cfgan.models.classifiers import TabularClassifier
+    from cfgan.train.state import NetState, adam_like_torch
+
+    (xtr, ytr), (xte, yte), stats, bins, schema = load_kc_house(seed=0)
+    clf_model = TabularClassifier(num_classes=4)
+    clf_state = NetState.create(
+        clf_model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(0)},
+            jnp.asarray(xte[:2]),
+        ),
+        adam_like_torch(1e-3),
+    )
+    bundle = build_tabular_countergan(
+        CounterGANConfig(hidden_dim=16, num_res_blocks=1),
+        clf_model, clf_state, schema, stats, num_classes=4, seed=3,
+    )
+
+    def clf_fn(x):
+        return clf_model.apply(clf_state.variables(), x, train=False)
+
+    df = analyze_mask_policies(
+        bundle.cf_fn, clf_fn, bundle.state.g.variables(),
+        xte[:64], yte[:64], schema, 4, out_dir=str(tmp_path),
+        max_samples=64,
+    )
+    n_mutable = len(schema.feature_names) - len(schema.immutable_features)
+    assert set(df["policy"]).issuperset({"all_mutable", "random_half"})
+    assert len(df) == (2 + n_mutable + 1) * 4
+    singles = df[df["policy"].str.startswith("single:")]
+    assert (singles["n_modifiable"] == 1).all()
+    assert not any(
+        f"single:{f}" in set(df["policy"]) for f in schema.immutable_features
+    )
+    assert os.path.exists(tmp_path / "mask_policy_analysis.csv")
+    assert os.path.exists(tmp_path / "mask_policy_analysis.png")
