@@ -61,3 +61,45 @@ class HostIterator:
         if self.drop_last:
             return self.n // self.batch_size
         return -(-self.n // self.batch_size)
+
+
+class DevicePrefetcher:
+    """Host->HBM double-buffered prefetch for datasets that do NOT fit in
+    device memory (the TPU-native replacement for the reference's
+    multi-worker DataLoader + pinned-memory copies, SURVEY.md section 2.9).
+
+    `jax.device_put` dispatches asynchronously, so keeping `buffer_size`
+    in-flight transfers ahead of the consumer overlaps PCIe/host work with
+    device compute — the same effect as torch's pin_memory+non_blocking
+    without threads."""
+
+    def __init__(self, host_iter, buffer_size: int = 2, sharding=None):
+        self.host_iter = host_iter
+        self.buffer_size = max(1, buffer_size)
+        self.sharding = sharding
+
+    def _put(self, batch):
+        if self.sharding is not None:
+            return tuple(jax.device_put(a, self.sharding) for a in batch)
+        return tuple(jax.device_put(a) for a in batch)
+
+    def __iter__(self):
+        import collections
+
+        queue = collections.deque()
+        it = iter(self.host_iter)
+        try:
+            for _ in range(self.buffer_size):
+                queue.append(self._put(next(it)))
+        except StopIteration:
+            pass
+        while queue:
+            out = queue.popleft()
+            try:
+                queue.append(self._put(next(it)))
+            except StopIteration:
+                pass
+            yield out
+
+    def __len__(self):
+        return len(self.host_iter)

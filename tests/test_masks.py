@@ -68,3 +68,21 @@ def test_feature_mask_immutables_always_zero():
 def test_immutable_complement_mask():
     m = np.asarray(immutable_complement_mask(4, 6, immutable_idx=(2, 4)))
     np.testing.assert_array_equal(m[0], [1, 1, 0, 1, 0, 1])
+
+
+def test_device_prefetcher_matches_host_iterator():
+    from cfgan.data.pipeline import DevicePrefetcher, HostIterator
+    import numpy as np
+    import jax
+
+    x = np.arange(40, dtype=np.float32).reshape(10, 4)
+    y = np.arange(10, dtype=np.int32)
+    host = HostIterator([x, y], batch_size=3)
+    pre = DevicePrefetcher(HostIterator([x, y], batch_size=3), buffer_size=2)
+    got = list(pre)
+    want = list(host)
+    assert len(got) == len(want) == len(pre)
+    for (gx, gy), (wx, wy) in zip(got, want):
+        assert isinstance(gx, jax.Array)
+        np.testing.assert_array_equal(np.asarray(gx), wx)
+        np.testing.assert_array_equal(np.asarray(gy), wy)
