@@ -56,10 +56,22 @@ def exists(path: str) -> bool:
 
 
 def restore(path: str, target):
-    """Restore into the structure of `target` (a template pytree)."""
+    """Restore into the structure of `target` (a template pytree).
+
+    Shapes are validated leaf-by-leaf: flax's from_bytes checks structure
+    but not array shapes, and a silently mis-shaped load would surface as a
+    confusing broadcast error deep inside a jitted step."""
     with open(os.path.join(path, "checkpoint.msgpack"), "rb") as f:
         blob = f.read()
-    return serialization.from_bytes(target, blob)
+    restored = serialization.from_bytes(target, blob)
+    for got, want in zip(jax.tree_util.tree_leaves(restored),
+                         jax.tree_util.tree_leaves(target)):
+        if hasattr(want, "shape") and getattr(got, "shape", None) != want.shape:
+            raise ValueError(
+                f"checkpoint at {path!r}: leaf shape {getattr(got, 'shape', None)} "
+                f"does not match template shape {want.shape}"
+            )
+    return restored
 
 
 def load_metadata(path: str) -> dict[str, Any] | None:
