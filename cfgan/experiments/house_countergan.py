@@ -32,7 +32,11 @@ from cfgan.eval.tabular import (
 from cfgan.experiments.presets import HOUSE_COUNTERGAN
 from cfgan.models.classifiers import TabularClassifier
 from cfgan.train.builders import build_tabular_countergan
-from cfgan.train.classifier import make_eval_fn, train_classifier
+from cfgan.train.classifier import (
+    make_eval_fn,
+    plot_classifier_curves,
+    train_classifier,
+)
 from cfgan.train.loop import plot_loss_curves, train_countergan_loop
 from cfgan.train.state import NetState, adam_like_torch
 
@@ -68,13 +72,16 @@ def run(cfg=HOUSE_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
             np.arange(len(ytr)), test_size=0.15, stratify=ytr,
             random_state=cfg.seed,
         )
-        clf_state, _ = train_classifier(
+        clf_state, clf_hist = train_classifier(
             clf_model, cfg.classifier, (xtr[itr], ytr[itr]),
             (xtr[iva], ytr[iva]), seed=cfg.seed, num_classes=cfg.num_classes,
         )
         ckpt.save(clf_dir, clf_state.variables(),
                   metadata={"stats": stats.to_metadata(),
                             "bins": [float(b) for b in bins]})
+        plot_classifier_curves(
+            clf_hist, os.path.join(out_dir, "classifier_training_curves.png")
+        )
 
     logits_fn, _ = make_eval_fn(clf_model)
     clf_eval = evaluate_classifier(
@@ -127,6 +134,28 @@ def run(cfg=HOUSE_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
     df = per_target_metrics_from_sweep(sweep, xte, yte, cfg.num_classes)
     df.to_csv(os.path.join(out_dir, "countergan_metrics.csv"), index=False)
     print(df)
+
+    # reference-protocol metrics: the reference's per-target eval discards
+    # the clamped counterfactual and scores `x + masked_residual` UN-clamped
+    # (`house eval_utils.py:244-245`, a defect — out-of-data-space values
+    # inflate flip rates).  Reported separately for apples-to-apples
+    # comparison with the reference's published CSV; the clamped
+    # `countergan_metrics.csv` above is the honest number.
+    def cf_unclamped(g, x, t, m, k):
+        _, raw, masked = bundle.cf_fn(g, x, t, m, k)
+        return x + masked, raw, masked
+
+    sweep_ref = sweep_all_targets(
+        cf_unclamped, clf_fn, g_vars, xte, mask, cfg.num_classes, key
+    )
+    df_ref = per_target_metrics_from_sweep(sweep_ref, xte, yte,
+                                           cfg.num_classes)
+    df_ref.to_csv(
+        os.path.join(out_dir, "countergan_metrics_reference_protocol.csv"),
+        index=False,
+    )
+    print("[reference protocol (un-clamped, eval_utils.py:244-245)]")
+    print(df_ref)
 
     feature_shift_importance(sweep, xte, yte, schema, stats, out_dir=out_dir)
     class_pair_sensitivity(sweep, xte, yte, schema, out_dir=out_dir)

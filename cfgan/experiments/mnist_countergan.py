@@ -38,7 +38,11 @@ from cfgan.experiments.presets import MNIST_COUNTERGAN
 from cfgan.masks.patch import random_patch_mask
 from cfgan.models.classifiers import CNNClassifier
 from cfgan.train.builders import build_mnist_countergan
-from cfgan.train.classifier import make_eval_fn, train_classifier
+from cfgan.train.classifier import (
+    make_eval_fn,
+    plot_classifier_curves,
+    train_classifier,
+)
 from cfgan.train.loop import plot_loss_curves, train_countergan_loop
 from cfgan.train.state import NetState, adam_like_torch
 
@@ -61,11 +65,14 @@ def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
         clf_state = NetState.create(restored, adam_like_torch(cfg.classifier.lr))
         print(f"Loaded classifier from {clf_dir}")
     else:
-        clf_state, _ = train_classifier(
+        clf_state, clf_hist = train_classifier(
             clf_model, cfg.classifier, (xtr, ytr), (xva, yva),
             seed=cfg.seed, num_classes=cfg.num_classes,
         )
         ckpt.save(clf_dir, clf_state.variables())
+        plot_classifier_curves(
+            clf_hist, os.path.join(out_dir, "classifier_training_curves.png")
+        )
 
     logits_fn, _ = make_eval_fn(clf_model)
     clf_eval = evaluate_classifier(

@@ -187,3 +187,27 @@ def train_classifier(
             log(f"[Classifier] Epoch {epoch+1}/{cfg.epochs} | loss {mean_loss:.4f}")
             best_state = state
     return best_state, history
+
+
+def plot_classifier_curves(history: dict, path: str):
+    """Loss/val-acc curves (`house trainer.py:157-176`)."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    axes[0].plot(history.get("loss", []))
+    axes[0].set_title("train loss")
+    axes[0].set_xlabel("epoch")
+    if history.get("val_acc"):
+        axes[1].plot(history["val_acc"])
+        axes[1].set_title("validation accuracy")
+        axes[1].set_xlabel("epoch")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
