@@ -73,39 +73,48 @@ def bench_cfgan():
     bundle = build_mnist_countergan(cfg, clf_model, clf_state, seed=0,
                                     diagnostics=False)
 
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.uniform(-1, 1, (BATCH, 28, 28, 1)).astype(np.float32))
-    y = jnp.asarray(rng.randint(0, 10, BATCH).astype(np.int32))
-    key = jax.random.key(2)
+    from cfgan.data.pipeline import epoch_perm
 
-    step = jax.jit(bundle.step_fn, donate_argnums=(0,))
+    rng = np.random.RandomState(0)
+    n = BATCH * STEPS
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 28, 28, 1)).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 10, n).astype(np.int32))
+    key = jax.random.key(2)
+    perm = epoch_perm(jax.random.key(3), n, BATCH)  # STEPS steps
+
+    # the production training path: the whole epoch is ONE lax.scan program
+    # over the device-resident dataset (train/countergan.make_epoch_runner) —
+    # no per-step dispatch
     state = bundle.state
     t0 = time.perf_counter()
     for _ in range(WARMUP):
-        state, metrics = step(state, x, y, key)
-    jax.block_until_ready(metrics)
+        state, metrics = bundle.epoch_fn(state, x, y, perm, key)
+    jax.block_until_ready(metrics["d_loss"])
     log(f"[cfgan] compile+warmup {time.perf_counter() - t0:.1f}s on "
         f"{jax.devices()[0].platform}")
 
+    reps = 5
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, metrics = step(state, x, y, key)
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
-    train_ips = BATCH * STEPS / dt
-    log(f"[cfgan] train step: {dt / STEPS * 1e3:.2f} ms/step -> "
+    for i in range(reps):
+        state, metrics = bundle.epoch_fn(state, x, y, perm,
+                                         jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics["d_loss"])
+    dt = (time.perf_counter() - t0) / reps
+    train_ips = n / dt
+    log(f"[cfgan] scanned epoch: {dt / STEPS * 1e3:.2f} ms/step -> "
         f"{train_ips:,.0f} images/sec/chip")
 
     # secondary: serving throughput (fused G+classifier counterfactual fwd)
     cf = bundle.cf_fn
     g_vars = state.g.variables()
+    xb = x[:BATCH]
     t = jnp.asarray(rng.randint(0, 10, BATCH).astype(np.int32))
     mask = jnp.ones((BATCH, 28, 28, 1), jnp.float32)
-    out = cf(g_vars, x, t, mask)
+    out = cf(g_vars, xb, t, mask)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        out = cf(g_vars, x, t, mask)
+        out = cf(g_vars, xb, t, mask)
     jax.block_until_ready(out)
     cf_ps = BATCH * STEPS / (time.perf_counter() - t0)
     log(f"[cfgan] counterfactuals/sec (batch {BATCH}): {cf_ps:,.0f}")
