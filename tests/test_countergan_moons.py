@@ -111,3 +111,22 @@ def test_best_classifier_state_survives_donation(moons_data):
     )
     leaves = jax.tree_util.tree_leaves(state.params)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_profiling_hooks(tmp_path, moons_data):
+    """jax.profiler trace + StepTimer produce a trace dir and sane rates."""
+    from cfgan.core.profiling import StepTimer, annotate, trace
+
+    (xtr, ytr), _, _ = moons_data
+    x = jnp.asarray(xtr[:64])
+    timer = StepTimer(items_per_step=64)
+    with trace(str(tmp_path)):
+        with timer.measure():
+            with annotate("square"):
+                out = jax.jit(lambda a: (a * a).sum())(x)
+            timer.fence(out)
+    assert timer.elapsed > 0
+    assert timer.items_per_sec(1) > 0
+    import os
+
+    assert any(os.scandir(str(tmp_path)))  # trace artifacts written
