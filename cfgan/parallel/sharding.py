@@ -35,3 +35,30 @@ def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree (params / optimizer state) over the mesh."""
     sh = replicate_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def channel_sharding_spec(mesh: Mesh, tree, axis: str = "model",
+                          min_dim: int = 2):
+    """NamedSharding tree that shards each float leaf's LAST dimension
+    (output channels / features) over `axis` when divisible, replicating
+    everything else — a weight-sharded (tensor/FSDP-style) layout for the
+    2-D ("data", "model") mesh.  XLA inserts the all-gathers/reduce-scatters
+    during sharding propagation."""
+    size = mesh.shape[axis]
+
+    def spec(x):
+        if (
+            hasattr(x, "ndim") and x.ndim >= 1
+            and hasattr(x, "shape") and x.shape[-1] % size == 0
+            and x.shape[-1] >= min_dim * size
+        ):
+            return NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1) + [axis]))
+            )
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def shard_leaves(tree, sharding_tree):
+    return jax.tree_util.tree_map(jax.device_put, tree, sharding_tree)
