@@ -189,3 +189,27 @@ MNIST_COUNTERGAN_LEGACY = ExperimentConfig(
     ),
 )
 PRESETS[MNIST_COUNTERGAN_LEGACY.name] = MNIST_COUNTERGAN_LEGACY
+
+# improved recipe: identical to HOUSE_COUNTERGAN but the training loss sees
+# the clamped counterfactual (train/eval consistency), which reaches the
+# reference's flip rates with counterfactuals that stay in legal data space
+# (RESULTS.md "clamp-trained" row)
+HOUSE_COUNTERGAN_CLAMPED = HOUSE_COUNTERGAN.replace(
+    name="house_countergan_clamped",
+    countergan=CounterGANConfig(
+        epochs=150,
+        lr_g=1e-3,
+        lr_d=1e-3,
+        lambda_cls=4.0,
+        lambda_reg_l1=1.0,
+        lambda_mask=1.0,
+        adv_loss="wasserstein",
+        reg_reduction="per_sample_norm",
+        clamp_cf=(0.0, 1.0),
+        resample_target=True,
+        hidden_dim=32,
+        num_res_blocks=5,
+        gumbel_tau=0.5,
+    ),
+)
+PRESETS[HOUSE_COUNTERGAN_CLAMPED.name] = HOUSE_COUNTERGAN_CLAMPED
