@@ -34,8 +34,10 @@ class StepTimer:
     """Throughput measurement with correct async fencing.
 
     >>> timer = StepTimer(items_per_step=batch_size)
-    >>> with timer.measure(fence=last_output):
-    ...     for _ in range(n): last_output = step(...)
+    >>> with timer.measure():
+    ...     for _ in range(n):
+    ...         out = step(...)
+    ...     timer.fence(out)   # readiness of `out` ends the timing
     >>> timer.items_per_sec(n)
     """
 

@@ -29,6 +29,8 @@ def load_dataset(cfg: DataConfig, limit: int | None = None):
         from cfgan.data.moons import load_moons2
 
         x, y = load_moons2(seed=cfg.seed)
+        if limit:
+            x, y = x[:limit], y[:limit]
         return {"train": (x, y), "num_classes": 2}
     if cfg.name == "mnist":
         from cfgan.data.mnist import load_mnist

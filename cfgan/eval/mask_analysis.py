@@ -62,13 +62,12 @@ def analyze_mask_policies(
     mutable = [i for i in range(d) if i not in schema.immutable_idx]
     rng = np.random.RandomState(seed)
 
-    policies: dict[str, np.ndarray] = {
-        "all_mutable": np.asarray(immutable_mask(b, schema)),
-        "random_half": _mask_from_idx(b, d, []),
-    }
     rh = (rng.uniform(0, 1, (b, d)) > 0.5).astype(np.float32)
     rh[:, list(schema.immutable_idx)] = 0.0
-    policies["random_half"] = rh
+    policies: dict[str, np.ndarray] = {
+        "all_mutable": np.asarray(immutable_mask(b, schema)),
+        "random_half": rh,
+    }
     for i in mutable:
         policies[f"single:{schema.feature_names[i]}"] = _mask_from_idx(
             b, d, [i]

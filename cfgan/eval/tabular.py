@@ -15,6 +15,7 @@ immutable-only mask, and clamps to [0, 1] data space
 """
 from __future__ import annotations
 
+import functools
 import os
 from typing import Sequence
 
@@ -39,18 +40,17 @@ def _mpl():
 def immutable_mask(batch: int, schema: TabularSchema) -> jnp.ndarray:
     """All-ones mask with immutable features forced to 0
     (`eval_utils.py:49-51`)."""
-    m = np.ones((batch, schema.input_dim), np.float32)
-    m[:, list(schema.immutable_idx)] = 0.0
-    return jnp.asarray(m)
+    from cfgan.masks.feature import immutable_complement_mask
+
+    return immutable_complement_mask(batch, schema.input_dim,
+                                     schema.immutable_idx)
 
 
-def sweep_all_targets(cf_fn, clf_fn, g_vars, x, mask, num_classes: int, key):
-    """One fused call: counterfactuals + classifier outputs for EVERY target.
-
-    Returns dict of numpy arrays:
-      x_cf (C,B,D), preds_cf (C,B), probs_cf (C,B,C), probs_orig (B,C).
-    """
-    x = jnp.asarray(x)
+@functools.lru_cache(maxsize=64)
+def _make_sweep(cf_fn, clf_fn, num_classes: int):
+    """Compiled all-target sweep, cached per (cf_fn, clf_fn) pair so repeat
+    callers (mask-policy analysis runs it once per policy) reuse one
+    executable instead of re-tracing."""
 
     @jax.jit
     def _sweep(g_vars, x, mask, key):
@@ -64,7 +64,20 @@ def sweep_all_targets(cf_fn, clf_fn, g_vars, x, mask, num_classes: int, key):
         probs_orig = jax.nn.softmax(clf_fn(x), 1)
         return x_cf, preds, probs, probs_orig
 
-    x_cf, preds, probs, probs_orig = _sweep(g_vars, x, mask, key)
+    return _sweep
+
+
+def sweep_all_targets(cf_fn, clf_fn, g_vars, x, mask, num_classes: int, key):
+    """One fused call: counterfactuals + classifier outputs for EVERY target.
+
+    Returns dict of numpy arrays:
+      x_cf (C,B,D), preds_cf (C,B), probs_cf (C,B,C), probs_orig (B,C).
+    """
+    x = jnp.asarray(x)
+    mask = jnp.asarray(mask)
+    x_cf, preds, probs, probs_orig = _make_sweep(cf_fn, clf_fn, num_classes)(
+        g_vars, x, mask, key
+    )
     return {
         "x_cf": np.asarray(x_cf),
         "preds_cf": np.asarray(preds),

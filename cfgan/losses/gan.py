@@ -31,15 +31,23 @@ def g_loss_bce(fake_logits):
     return bce_logits(fake_logits, jnp.ones_like(fake_logits))
 
 
+def _safe_log(p, eps: float):
+    """Saturation-safe log: a sigmoid that saturates to exactly 0.0/1.0 in
+    f32 must give a large-but-FINITE loss and gradient (torch BCELoss clamps
+    the log at -100 and floors its backward's denominator).  Flooring the
+    input keeps both the value and the 1/p gradient finite."""
+    return jnp.log(jnp.maximum(p + eps, 1e-12))
+
+
 def d_loss_nonsaturating(real_probs, fake_probs, eps: float = 0.0):
     """-mean(log D(x)) - mean(log(1 - D(G(z)))) on sigmoid outputs."""
-    return -jnp.mean(jnp.log(real_probs + eps)) - jnp.mean(
-        jnp.log(1.0 - fake_probs + eps)
+    return -jnp.mean(_safe_log(real_probs, eps)) - jnp.mean(
+        _safe_log(1.0 - fake_probs, eps)
     )
 
 
 def g_loss_nonsaturating(fake_probs, eps: float = 0.0):
-    return -jnp.mean(jnp.log(fake_probs + eps))
+    return -jnp.mean(_safe_log(fake_probs, eps))
 
 
 def d_loss_wasserstein(real_scores, fake_scores):

@@ -109,10 +109,12 @@ class CounterfactualEngine:
 
     # ------------------------------------------------------------- masks
     def default_mask(self, batch: int, x_shape) -> jnp.ndarray:
-        mask = jnp.ones((batch,) + tuple(x_shape[1:]), jnp.float32)
-        if self.schema is not None and self.schema.immutable_idx:
-            mask = mask.at[:, jnp.asarray(self.schema.immutable_idx)].set(0.0)
-        return mask
+        if self.schema is not None and len(x_shape) == 2:
+            from cfgan.masks.feature import immutable_complement_mask
+
+            return immutable_complement_mask(batch, x_shape[1],
+                                             self.schema.immutable_idx)
+        return jnp.ones((batch,) + tuple(x_shape[1:]), jnp.float32)
 
     def mask_from_patches(self, patch_indices: Sequence[int], batch: int,
                           image_hw: tuple[int, int], channels: int = 1):

@@ -35,21 +35,24 @@ def extract_action(text: str, num_classes: int = 10,
         action = json.loads(m.group(1))
     except json.JSONDecodeError:
         return None
+    def _is_int(v):  # JSON booleans are ints in Python; reject them
+        return isinstance(v, int) and not isinstance(v, bool)
+
     name = action.get("action")
     if name == "show_digit":
         v = action.get("value")
-        if isinstance(v, int) and 0 <= v < num_classes:
+        if _is_int(v) and 0 <= v < num_classes:
             return {"action": "show_digit", "value": v}
         return None
     if name == "transform_digit":
         t = action.get("target")
         patches = action.get("patches")
-        if not (isinstance(t, int) and 0 <= t < num_classes):
+        if not (_is_int(t) and 0 <= t < num_classes):
             return None
         if not isinstance(patches, list) or not patches:
             return None
         clean = [p for p in patches
-                 if isinstance(p, int) and 0 <= p < num_patches]
+                 if _is_int(p) and 0 <= p < num_patches]
         if len(clean) != len(patches):
             return None
         return {"action": "transform_digit", "target": t, "patches": clean}

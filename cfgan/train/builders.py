@@ -76,6 +76,23 @@ def make_mixed_precision(apply_fn, compute_dtype: str):
     return wrapped
 
 
+def _clf_forward_fn(clf_model, clf_vars, compute_dtype: str):
+    """Frozen-classifier forward at the configured compute dtype
+    (float32 logits either way)."""
+    if compute_dtype == "float32":
+        def clf_forward(x):
+            return clf_model.apply(clf_vars, x, train=False)
+        return clf_forward
+    cd = jnp.dtype(compute_dtype)
+    clf_vars_cast = _cast_floats(clf_vars, cd)
+
+    def clf_forward(x):
+        logits = clf_model.apply(clf_vars_cast, x.astype(cd), train=False)
+        return logits.astype(jnp.float32)
+
+    return clf_forward
+
+
 def _init_state(g_model, d_model, g_inputs, d_inputs, cfg, key):
     kg, kd = jax.random.split(key)
     g_vars = g_model.init({"params": kg, "gumbel": kg}, *g_inputs, train=False)
@@ -130,8 +147,9 @@ def build_moons_countergan(
                                update_stats=False)
         return scores, stats
 
-    def clf_forward(x):
-        return clf_model.apply(clf_vars, x, train=False)
+    g_forward = make_mixed_precision(g_forward, cfg.compute_dtype)
+    d_forward = make_mixed_precision(d_forward, cfg.compute_dtype)
+    clf_forward = _clf_forward_fn(clf_model, clf_vars, cfg.compute_dtype)
 
     mask_sampler = lambda key, x: random_feature_mask(
         key, x.shape[0], x.shape[1], cfg.mask.immutable_idx
@@ -207,18 +225,7 @@ def build_mnist_countergan(
 
     g_forward = make_mixed_precision(g_forward, cfg.compute_dtype)
     d_forward = make_mixed_precision(d_forward, cfg.compute_dtype)
-
-    if cfg.compute_dtype != "float32":
-        cd = jnp.dtype(cfg.compute_dtype)
-        clf_vars_cast = _cast_floats(clf_vars, cd)
-
-        def clf_forward(x):
-            logits = clf_model.apply(clf_vars_cast, x.astype(cd), train=False)
-            return logits.astype(jnp.float32)
-    else:
-
-        def clf_forward(x):
-            return clf_model.apply(clf_vars, x, train=False)
+    clf_forward = _clf_forward_fn(clf_model, clf_vars, cfg.compute_dtype)
 
     if legacy_delta:
         mask_sampler = lambda key, x: jnp.ones_like(x)  # no masks in legacy
@@ -306,8 +313,9 @@ def build_tabular_countergan(
             stats_,
         )
 
-    def clf_forward(x):
-        return clf_model.apply(clf_vars, x, train=False)
+    g_forward = make_mixed_precision(g_forward, cfg.compute_dtype)
+    d_forward = make_mixed_precision(d_forward, cfg.compute_dtype)
+    clf_forward = _clf_forward_fn(clf_model, clf_vars, cfg.compute_dtype)
 
     mask_sampler = lambda key, x: random_feature_mask(
         key, x.shape[0], x.shape[1], schema.immutable_idx

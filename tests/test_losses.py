@@ -110,3 +110,20 @@ def test_mnist_reg_reduction_mean_abs():
     masked = RNG.randn(8, 28, 28, 1).astype(np.float32)
     got = float(cg.proximity_l1(jnp.asarray(masked), "mean_abs"))
     assert abs(got - np.abs(masked).mean()) < 1e-6
+
+
+def test_nonsaturating_losses_survive_saturated_discriminator():
+    """torch BCELoss clamps log at -100; a saturated sigmoid (exactly 0/1 in
+    f32) must give a finite loss and finite gradients, not inf/NaN."""
+    from cfgan.losses.gan import d_loss_nonsaturating, g_loss_nonsaturating
+
+    real = jnp.asarray([1.0, 0.0, 0.5])
+    fake = jnp.asarray([1.0, 0.0, 0.5])
+    d = d_loss_nonsaturating(real, fake)
+    g = g_loss_nonsaturating(jnp.asarray([0.0, 1.0]))
+    assert np.isfinite(float(d)) and np.isfinite(float(g))
+
+    grad = jax.grad(lambda p: g_loss_nonsaturating(jax.nn.sigmoid(p)))(
+        jnp.asarray([-100.0, 0.0, 100.0])  # saturates sigmoid in f32
+    )
+    assert np.all(np.isfinite(np.asarray(grad)))

@@ -149,3 +149,13 @@ def test_mnist_chat_backend_deterministic(tmp_path):
     # unparseable message -> help text, no image
     text, img = backend.reply("what is the weather", [])
     assert img is None
+
+
+def test_extract_action_rejects_json_booleans():
+    assert extract_action('<!-- {"action": "show_digit", "value": true} -->') is None
+    assert extract_action(
+        '<!-- {"action": "transform_digit", "target": true, "patches": [1]} -->'
+    ) is None
+    assert extract_action(
+        '<!-- {"action": "transform_digit", "target": 1, "patches": [true]} -->'
+    ) is None
