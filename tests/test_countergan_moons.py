@@ -130,3 +130,48 @@ def test_profiling_hooks(tmp_path, moons_data):
     import os
 
     assert any(os.scandir(str(tmp_path)))  # trace artifacts written
+
+
+def test_bf16_mixed_precision_all_builders(moons_data):
+    """compute_dtype='bfloat16' runs for every builder family with float32
+    params and finite losses."""
+    from cfgan.core.config import ClassifierConfig, CounterGANConfig
+    from cfgan.data.kc_house import load_kc_house
+    from cfgan.models.classifiers import MLPClassifier, TabularClassifier
+    from cfgan.train.builders import (
+        build_moons_countergan,
+        build_tabular_countergan,
+    )
+    from cfgan.train.classifier import train_classifier
+    from cfgan.train.state import NetState, adam_like_torch
+
+    (xtr, ytr), _, _ = moons_data
+    clf_model = MLPClassifier()
+    clf_state, _ = train_classifier(
+        clf_model, ClassifierConfig(lr=1e-2, steps=20), (xtr, ytr), seed=1
+    )
+    b = build_moons_countergan(
+        CounterGANConfig(compute_dtype="bfloat16"), clf_model, clf_state,
+        seed=2,
+    )
+    st, m = jax.jit(b.step_fn)(b.state, jnp.asarray(xtr[:32]),
+                               jnp.asarray(ytr[:32]), jax.random.key(0))
+    assert jax.tree_util.tree_leaves(st.g.params)[0].dtype == jnp.float32
+    assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+
+    (hxtr, hytr), _, stats, _, schema = load_kc_house(seed=0)
+    tclf = TabularClassifier(num_classes=4)
+    tclf_state = NetState.create(
+        tclf.init({"params": jax.random.key(0), "dropout": jax.random.key(0)},
+                  jnp.asarray(hxtr[:2])),
+        adam_like_torch(1e-3),
+    )
+    tb = build_tabular_countergan(
+        CounterGANConfig(hidden_dim=16, num_res_blocks=1,
+                         compute_dtype="bfloat16"),
+        tclf, tclf_state, schema, stats, num_classes=4, seed=3,
+    )
+    st, m = jax.jit(tb.step_fn)(tb.state, jnp.asarray(hxtr[:32]),
+                                jnp.asarray(hytr[:32]), jax.random.key(0))
+    assert jax.tree_util.tree_leaves(st.g.params)[0].dtype == jnp.float32
+    assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
