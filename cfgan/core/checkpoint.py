@@ -80,3 +80,33 @@ def load_metadata(path: str) -> dict[str, Any] | None:
         return None
     with open(p) as f:
         return json.load(f)
+
+
+def save_sharded(path: str, tree, metadata: dict[str, Any] | None = None) -> str:
+    """Orbax-backed checkpoint for sharded / multi-host states: each leaf is
+    written with its sharding preserved (every host writes only its shards).
+    Falls back to the msgpack format on a single host without orbax."""
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError:
+        return save(path, tree, metadata)
+    os.makedirs(path, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(os.path.abspath(path), "orbax"), tree, force=True)
+    ckptr.wait_until_finished()
+    if metadata is not None:
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(metadata, f, cls=_NumpyJSON, indent=1)
+    return path
+
+
+def restore_sharded(path: str, target):
+    """Restore an orbax checkpoint into `target`'s structure (and shardings,
+    when `target` leaves carry them)."""
+    orbax_dir = os.path.join(os.path.abspath(path), "orbax")
+    if not os.path.isdir(orbax_dir):
+        return restore(path, target)
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(orbax_dir, target)

@@ -46,3 +46,22 @@ def test_restore_rejects_shape_mismatch(tmp_path):
     except Exception:
         raised = True
     assert raised
+
+
+def test_sharded_roundtrip_on_mesh():
+    from cfgan.parallel.mesh import create_mesh
+    from cfgan.parallel.sharding import replicate, shard_batch
+    import tempfile
+
+    mesh = create_mesh()
+    x = np.arange(64.0, dtype=np.float32).reshape(8, 8)
+    (xs,) = shard_batch(mesh, (x,))
+    (r,) = replicate(mesh, (jnp.ones((3,)),))
+    tree = {"sharded": xs, "replicated": r}
+    with tempfile.TemporaryDirectory() as d:
+        ckpt.save_sharded(d, tree, metadata={"k": 1})
+        restored = ckpt.restore_sharded(d, tree)
+        np.testing.assert_array_equal(np.asarray(restored["sharded"]), x)
+        np.testing.assert_array_equal(np.asarray(restored["replicated"]),
+                                      np.ones((3,)))
+        assert ckpt.load_metadata(d)["k"] == 1
