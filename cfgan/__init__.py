@@ -30,7 +30,8 @@ Subpackage map (see SURVEY.md section 7):
     eval/        vmapped metrics, grids, heatmaps, case studies
     serve/       fused CF inference engine, NL intent parsing, web apps
     experiments/ presets mirroring the five reference experiment folders
-    benchmarks/  images/sec/chip + counterfactuals/sec harnesses
+
+The throughput harness lives at the repo root (`bench.py`).
 """
 
 __version__ = "0.1.0"
