@@ -125,3 +125,76 @@ def _plot(df: pd.DataFrame, path: str):
     fig.tight_layout()
     fig.savefig(path, dpi=120)
     plt.close(fig)
+
+
+def patch_budget_curve(
+    cf_fn,
+    clf_fn,
+    g_vars,
+    x,
+    y,
+    num_classes: int,
+    patch_size: int,
+    budgets=None,
+    key=None,
+    out_dir: str | None = None,
+    max_samples: int = 512,
+    seed: int = 0,
+) -> "pd.DataFrame":
+    """Image analog of the mask-policy analysis: counterfactual quality as a
+    function of the modifiable-patch budget (1..all patches, random masks at
+    each budget).  Quantifies how much freedom the generator needs — the
+    image-side question the reference's masked metrics only sample at one
+    budget (`mnist/eval_utils.py:292-344`)."""
+    import jax.numpy as jnp
+
+    from cfgan.masks.patch import patch_grid_dims, random_patch_mask
+
+    x = np.asarray(x)[:max_samples]
+    y = np.asarray(y)[:max_samples]
+    b, h, w = x.shape[0], x.shape[1], x.shape[2]
+    ph, pw = patch_grid_dims(h, w, patch_size)
+    total = ph * pw
+    budgets = budgets or sorted({1, 2, 4, 6, 8, 10, 12, total})
+    key = key if key is not None else jax.random.key(seed)
+    rng_t = np.random.RandomState(seed)
+    t = jnp.asarray(rng_t.randint(0, num_classes, b))
+
+    rows = []
+    xj = jnp.asarray(x)
+    for k_i, budget in enumerate(budgets):
+        mask = random_patch_mask(jax.random.fold_in(key, k_i), b, (h, w),
+                                 patch_size, budget, channels=x.shape[-1])
+        x_cf, raw, masked = cf_fn(g_vars, xj, t, mask, key)
+        logits = clf_fn(x_cf)
+        preds = np.asarray(jnp.argmax(logits, 1))
+        probs = np.asarray(jax.nn.softmax(logits, 1))
+        rows.append({
+            "n_patches": int(budget),
+            "frac_area": budget / total,
+            "flip_rate": float((preds == np.asarray(t)).mean()),
+            "mean_target_prob": float(probs[np.arange(b), np.asarray(t)].mean()),
+            "actionability": float(np.abs(np.asarray(x_cf) - x).mean()),
+        })
+    df = pd.DataFrame(rows)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        df.to_csv(os.path.join(out_dir, "patch_budget_curve.csv"), index=False)
+        plt = __import__("matplotlib.pyplot", fromlist=["pyplot"])
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.plot(df["n_patches"], df["flip_rate"], marker="o", label="flip rate")
+        ax.plot(df["n_patches"], df["mean_target_prob"], marker="s",
+                label="mean target prob")
+        ax.set_xlabel(f"modifiable {patch_size}x{patch_size} patches")
+        ax.set_ylim(0, 1.05)
+        ax.legend()
+        ax.set_title("Counterfactual success vs patch budget")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "patch_budget_curve.png"), dpi=120)
+        plt.close(fig)
+    return df

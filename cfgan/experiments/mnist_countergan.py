@@ -178,6 +178,15 @@ def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
         t_rand[:8], vis_mask, os.path.join(out_dir, "eval_visuals"), key=key,
     )
 
+    # patch-budget sweep: flip rate vs modifiable area (capability uplift,
+    # cfgan.eval.mask_analysis.patch_budget_curve)
+    from cfgan.eval.mask_analysis import patch_budget_curve
+
+    patch_budget_curve(
+        bundle.cf_fn, clf_fn, g_vars, xte, yte, cfg.num_classes, ps,
+        key=key, out_dir=out_dir,
+    )
+
     # numbered patch grid + one promptable single-sample example
     patch_grid_overlay(xte[0], ps, os.path.join(out_dir, "patch_grid.png"))
     user_modification_example(

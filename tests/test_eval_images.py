@@ -83,3 +83,16 @@ def test_user_modification_example_confines_residual(data, tmp_path):
     outside = r.copy()
     outside[:7, :7] = 0
     np.testing.assert_allclose(outside, 0.0)
+
+
+def test_patch_budget_curve(data, tmp_path):
+    from cfgan.eval.mask_analysis import patch_budget_curve
+
+    x, y = data
+    df = patch_budget_curve(cf_fn, clf_fn, {}, x, y, C_CLASSES, 7,
+                            budgets=[1, 2, 4], out_dir=str(tmp_path),
+                            max_samples=16)
+    assert list(df["n_patches"]) == [1, 2, 4]
+    assert df["flip_rate"].between(0, 1).all()
+    assert (df["frac_area"].diff().dropna() > 0).all()
+    assert os.path.exists(tmp_path / "patch_budget_curve.png")
