@@ -32,6 +32,11 @@ TEST_N = 10000
 
 # ---------------------------------------------------------------- real MNIST
 def _read_idx(path: str) -> np.ndarray:
+    from cfgan import native
+
+    fast = native.read_idx(path)  # C++ decoder; None -> python fallback
+    if fast is not None:
+        return fast
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rb") as f:
         magic = struct.unpack(">I", f.read(4))[0]
@@ -208,9 +213,14 @@ def load_mnist(
         xte, yte = xte[: max(limit // 5, 1)], yte[: max(limit // 5, 1)]
 
     def norm(x):
-        x = x.astype(np.float32) / 255.0
-        x = (x - 0.5) / 0.5
-        return x.reshape(x.shape[0], 28, 28, 1)
+        fast = None
+        if x.dtype == np.uint8:
+            from cfgan import native
+
+            fast = native.normalize_u8(x, 0.5, 0.5)  # C++ multithreaded path
+        if fast is None:
+            fast = ((x.astype(np.float32) / 255.0) - 0.5) / 0.5
+        return fast.reshape(x.shape[0], 28, 28, 1)
 
     xtr = norm(xtr)
     xte = norm(xte)
