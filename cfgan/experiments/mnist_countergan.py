@@ -48,7 +48,7 @@ from cfgan.train.state import NetState, adam_like_torch
 
 
 def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
-        limit: int | None = None):
+        limit: int | None = None, legacy_delta: bool = False):
     out_dir = out_dir or os.path.join(cfg.out_dir, cfg.name)
     os.makedirs(out_dir, exist_ok=True)
     (xtr, ytr), (xva, yva), (xte, yte) = load_mnist(
@@ -84,7 +84,7 @@ def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
     # ---- stage 2: CounteRGAN (mnist/main.py:38-47) ----
     bundle = build_mnist_countergan(
         cfg.countergan, clf_model, clf_state, num_classes=cfg.num_classes,
-        seed=cfg.seed,
+        seed=cfg.seed, legacy_delta=legacy_delta,
     )
     gen_dir = os.path.join(out_dir, "generator")
     if ckpt.exists(gen_dir) and not fresh:
@@ -207,17 +207,22 @@ def main():
                     help="truncate the dataset (smoke runs)")
     ap.add_argument("--out-dir", type=str, default=None)
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--legacy", action="store_true",
+                    help="superseded delta-generator stack with a fixed "
+                         "target (preset mnist_countergan_legacy)")
     args = ap.parse_args()
     from cfgan.core.config import replace as cfg_replace
+    from cfgan.experiments.presets import MNIST_COUNTERGAN_LEGACY
 
-    cfg = MNIST_COUNTERGAN
+    cfg = MNIST_COUNTERGAN_LEGACY if args.legacy else MNIST_COUNTERGAN
     if args.epochs is not None:
         cfg = cfg.replace(countergan=cfg_replace(cfg.countergan,
                                                  epochs=args.epochs))
     if args.clf_epochs is not None:
         cfg = cfg.replace(classifier=cfg_replace(cfg.classifier,
                                                  epochs=args.clf_epochs))
-    run(cfg, out_dir=args.out_dir, fresh=args.fresh, limit=args.limit)
+    run(cfg, out_dir=args.out_dir, fresh=args.fresh, limit=args.limit,
+        legacy_delta=args.legacy)
 
 
 if __name__ == "__main__":
