@@ -42,8 +42,9 @@ def random_patch_mask(
     """Random patch mask.
 
     num_modifiable=None: iid Bernoulli(0.5) per patch.
-    num_modifiable=k: exactly k modifiable patches per sample (top-k of a
-    random uniform draw — a vectorized randperm).
+    num_modifiable=k < total: exactly k modifiable patches per sample (top-k
+    of a random uniform draw — a vectorized randperm).
+    num_modifiable >= total: every patch modifiable (all-ones).
     shared=True: one mask broadcast across the batch
     (`eval_utils.py:233-245` "shared" policy).
     """
@@ -51,7 +52,9 @@ def random_patch_mask(
     ph, pw = patch_grid_dims(h, w, patch_size)
     total = ph * pw
     rows = 1 if shared else batch
-    if num_modifiable is None or num_modifiable >= total:
+    if num_modifiable is not None and num_modifiable >= total:
+        flat = jnp.ones((rows, total), jnp.float32)
+    elif num_modifiable is None:
         flat = jax.random.randint(key, (rows, total), 0, 2).astype(jnp.float32)
     else:
         scores = jax.random.uniform(key, (rows, total))

@@ -86,3 +86,13 @@ def test_device_prefetcher_matches_host_iterator():
         assert isinstance(gx, jax.Array)
         np.testing.assert_array_equal(np.asarray(gx), wx)
         np.testing.assert_array_equal(np.asarray(gy), wy)
+
+
+def test_random_patch_mask_full_budget_is_all_ones():
+    import jax
+    from cfgan.masks.patch import random_patch_mask
+
+    m = random_patch_mask(jax.random.key(0), 3, (28, 28), 7, 16)
+    assert float(m.min()) == 1.0
+    m = random_patch_mask(jax.random.key(0), 3, (28, 28), 7, 99)
+    assert float(m.min()) == 1.0
