@@ -159,3 +159,37 @@ def test_extract_action_rejects_json_booleans():
     assert extract_action(
         '<!-- {"action": "transform_digit", "target": 1, "patches": [true]} -->'
     ) is None
+
+
+def test_mnist_chat_backend_with_mock_llm():
+    """LLM branch: transcript assembly + action extraction from the model
+    reply (provider mocked)."""
+    import jax.numpy as jnp
+    from cfgan.serve.apps import MnistChatBackend
+
+    H = W = 14
+
+    def cf_fn(g_vars, x, target, mask, key=None):
+        raw = 0.1 * jnp.ones_like(x)
+        return jnp.clip(x + raw * mask, -1, 1), raw, raw * mask
+
+    Wm = jax.random.normal(jax.random.key(0), (H * W, 4))
+    clf_fn = lambda x: x.reshape(x.shape[0], -1) @ Wm
+    eng = CounterfactualEngine(cf_fn, clf_fn, {}, num_classes=4, patch_size=7)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, (16, H, W, 1)).astype(np.float32)
+    y = np.arange(16) % 4
+
+    prompts = []
+
+    def mock_llm(prompt):
+        prompts.append(prompt)
+        return 'Showing. <!-- {"action": "show_digit", "value": 2} -->'
+
+    backend = MnistChatBackend(eng, x, y, patch_size=7, llm=mock_llm)
+    text, img = backend.reply("show me a two", [("hi", "hello")])
+    assert img is not None
+    assert "Showing." in text and "<!--" not in text  # action stripped
+    # transcript contains prior turns and the new user message
+    assert "User: hi" in prompts[0] and "Assistant: hello" in prompts[0]
+    assert "show me a two" in prompts[0]
