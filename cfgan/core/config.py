@@ -128,7 +128,13 @@ class ShardingConfig:
     data_axis: str = "data"
     mesh_shape: tuple[int, ...] | None = None  # None => all local devices
     donate_state: bool = True
-    sync_batch_norm: bool = False  # per-replica stats match single-GPU runs
+    # Under jit-with-shardings (the path used here) BatchNorm reductions have
+    # GLOBAL batch semantics automatically — XLA inserts the collectives — so
+    # sharded training reproduces the single-device run exactly
+    # (tests/test_sharding.py parity test).  This flag exists for a future
+    # shard_map/pmap path, where per-replica stats would need
+    # `nn.layers.BatchNorm(axis_name=...)` to opt back into sync.
+    sync_batch_norm: bool = True
 
 
 @dataclass(frozen=True)
