@@ -99,6 +99,10 @@ class CounterGANConfig:
     # the MXU in bf16 with float32 parameters, optimizer state and losses
     # (capability uplift; float32 default matches reference numerics)
     compute_dtype: str = "float32"
+    # rematerialize the generator forward in the backward pass
+    # (jax.checkpoint): trades ~1/3 more FLOPs for O(depth) less activation
+    # memory — the knob for scaling G depth/width beyond HBM
+    remat: bool = False
     mask: MaskConfig = field(default_factory=MaskConfig)
 
 

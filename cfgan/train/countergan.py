@@ -68,6 +68,12 @@ def make_countergan_step(
     lo, hi = clamp if clamp is not None else (-1e30, 1e30)
     use_bce = cfg.adv_loss == "bce"
     clipped = cfg.adv_loss == "clipped_log"
+    if cfg.remat:
+        # rematerialize the generator forward during the backward pass:
+        # activation memory drops from O(depth) to O(1) saved tensors at the
+        # cost of one extra forward (the jax.checkpoint knob the reference's
+        # eager loop cannot express)
+        g_forward = jax.checkpoint(g_forward)
     # the fused Pallas epilogue (cfgan.ops.epilogue) on TPU; identical jnp
     # formulation elsewhere
     fused = jax.default_backend() == "tpu"

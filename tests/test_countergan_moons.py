@@ -175,3 +175,31 @@ def test_bf16_mixed_precision_all_builders(moons_data):
                                 jnp.asarray(hytr[:32]), jax.random.key(0))
     assert jax.tree_util.tree_leaves(st.g.params)[0].dtype == jnp.float32
     assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+
+
+def test_remat_step_matches_no_remat(moons_data):
+    """jax.checkpoint on the generator forward changes memory, not math."""
+    from cfgan.core.config import ClassifierConfig, CounterGANConfig
+    from cfgan.models.classifiers import MLPClassifier
+    from cfgan.train.builders import build_moons_countergan
+    from cfgan.train.classifier import train_classifier
+
+    (xtr, ytr), _, _ = moons_data
+    clf_model = MLPClassifier()
+    clf_state, _ = train_classifier(
+        clf_model, ClassifierConfig(lr=1e-2, steps=20), (xtr, ytr), seed=1
+    )
+    outs = []
+    for remat in (False, True):
+        b = build_moons_countergan(
+            CounterGANConfig(remat=remat), clf_model, clf_state, seed=4
+        )
+        st, m = jax.jit(b.step_fn)(b.state, jnp.asarray(xtr[:32]),
+                                   jnp.asarray(ytr[:32]), jax.random.key(0))
+        outs.append((st, m))
+    (st0, m0), (st1, m1) = outs
+    np.testing.assert_allclose(float(m0["g_loss"]), float(m1["g_loss"]),
+                               rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(st0.g.params),
+                     jax.tree_util.tree_leaves(st1.g.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
