@@ -43,6 +43,7 @@ def make_gan_step(
     n_critic: int = 1,
     gp_lambda: float = 10.0,
     eps: float = 0.0,  # log-clip for countergan2-style clipped losses
+    separate_d_passes: bool = False,
 ):
     """Returns step(state, x, y, key) -> (state, metrics).
 
@@ -81,10 +82,22 @@ def make_gan_step(
         fake_sg = jax.lax.stop_gradient(fake)
 
         def d_loss_fn(d_params):
-            xx = jnp.concatenate([x, fake_sg], axis=0)
-            cc = jnp.concatenate([y_oh, t_oh], axis=0)
-            out, new_d_stats = d_apply(d_params, state.d.stats, xx, cc, True)
-            real_out, fake_out = jnp.split(out, 2, axis=0)
+            if separate_d_passes:
+                # a BatchNorm discriminator MUST see real and fake in
+                # separate passes (torch reference semantics,
+                # `mnist_dcgan.py:150-164`): a concatenated batch lets BN's
+                # batch statistics separate real from fake for free, which
+                # collapses the generator
+                real_out, d_stats1 = d_apply(d_params, state.d.stats, x,
+                                             y_oh, True)
+                fake_out, new_d_stats = d_apply(d_params, d_stats1, fake_sg,
+                                                t_oh, True)
+            else:
+                xx = jnp.concatenate([x, fake_sg], axis=0)
+                cc = jnp.concatenate([y_oh, t_oh], axis=0)
+                out, new_d_stats = d_apply(d_params, state.d.stats, xx, cc,
+                                           True)
+                real_out, fake_out = jnp.split(out, 2, axis=0)
             if wgan:
                 dl = losses.d_loss_wasserstein(real_out, fake_out)
                 gp = losses.gradient_penalty(
@@ -99,7 +112,11 @@ def make_gan_step(
 
         def g_loss_and_update(d_net: NetState, g_stats):
             def g_terms(fake_in):
-                out, _ = d_apply(d_net.params, d_net.stats, fake_in, t_oh, False)
+                # BN discriminators also score the generator batch with
+                # train-mode (batch) statistics, like the eager reference;
+                # the running-stat side update is discarded here
+                out, _ = d_apply(d_net.params, d_net.stats, fake_in, t_oh,
+                                 separate_d_passes)
                 if wgan:
                     return losses.g_loss_wasserstein(out)
                 return losses.g_loss_nonsaturating(out, eps)

@@ -153,6 +153,8 @@ def build_gan(cfg: GANConfig, *, num_classes: int = 0,
         latent_dim=ld, num_classes=num_classes if conditional else 0,
         loss=loss, g_before_d=cfg.g_before_d, n_critic=cfg.n_critic,
         gp_lambda=cfg.gp_lambda,
+        # BatchNorm discriminators (DCGAN) must see real/fake separately
+        separate_d_passes=d_stats,
     )
 
     @jax.jit

@@ -126,3 +126,43 @@ def test_legacy_fixed_target_delta_countergan():
     )
     np.testing.assert_allclose(np.asarray(raw), np.asarray(masked))
     assert float(jnp.max(jnp.abs(raw))) <= 1.0
+
+
+def test_separate_d_passes_call_pattern():
+    """BN discriminators must score real and fake in SEPARATE train-mode
+    passes, and the G phase must also use train-mode batch statistics
+    (concatenated real+fake through BatchNorm lets the discriminator win via
+    batch statistics — collapsed DCGAN until fixed)."""
+    from cfgan.train.gan import make_gan_step
+    from cfgan.train.state import GANState, NetState, adam_like_torch
+
+    B, LD = 4, 3
+
+    def g_apply(params, stats, z, cond, key):
+        return z @ params["w"], stats
+
+    for separate, want in ((True, [(B, True), (B, True), (B, True)]),
+                           (False, [(2 * B, True), (B, False)])):
+        calls = []
+
+        def d_apply(params, stats, xx, cond, train):
+            calls.append((int(xx.shape[0]), bool(train)))
+            return (xx @ params["v"]).sum(1, keepdims=True), stats
+
+        tx = adam_like_torch(1e-3)
+        gp = {"w": jnp.ones((LD, LD))}
+        dp = {"v": jnp.ones((LD, 1))}
+        state = GANState(
+            g=NetState(params=gp, stats={}, opt_state=tx.init(gp)),
+            d=NetState(params=dp, stats={}, opt_state=tx.init(dp)),
+            step=jnp.zeros((), jnp.int32),
+        )
+        step = make_gan_step(
+            g_apply=g_apply, d_apply=d_apply, tx_g=tx, tx_d=tx,
+            latent_dim=LD, loss="nonsaturating",
+            separate_d_passes=separate,
+        )
+        x = jnp.ones((B, LD))
+        y = jnp.zeros((B,), jnp.int32)
+        jax.jit(step)(state, x, y, jax.random.key(0))  # trace records calls
+        assert calls == want, (separate, calls)
