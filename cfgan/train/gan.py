@@ -17,7 +17,15 @@ Reference loops rebuilt here (semantics, not code):
 
 Like the CounteRGAN step, the generator runs forward exactly once per batch
 (its linearization is saved with `jax.vjp` and reused for the G update), so
-BatchNorm statistics advance once per batch exactly like the eager reference.
+the generator's BatchNorm statistics advance once per batch exactly like the
+eager reference.
+
+Documented deviation (BN discriminators, `separate_d_passes=True`): the
+reference's G phase scores the fake batch through the still-train-mode
+discriminator, updating D's BN *running* stats a third time per batch; here
+that side update is discarded (batch statistics — which drive the gradients —
+are identical, so training dynamics match; only D's stored running averages
+differ, mattering solely for eval-mode D reuse).
 """
 from __future__ import annotations
 
