@@ -31,12 +31,28 @@ def g_loss_bce(fake_logits):
     return bce_logits(fake_logits, jnp.ones_like(fake_logits))
 
 
+@jax.custom_jvp
+def _log_floored(p):
+    """log with a floored argument AND a floored-denominator derivative:
+    value = log(max(p, 1e-12)), d/dp = 1/max(p, 1e-12).  A plain
+    `log(maximum(p, eps))` would zero the gradient once p < eps — a fully
+    saturated discriminator would hand the generator a ZERO gradient (stall).
+    torch BCELoss instead clamps the log at -100 and floors its backward's
+    denominator, giving a large-but-finite push; this reproduces that."""
+    return jnp.log(jnp.maximum(p, 1e-12))
+
+
+@_log_floored.defjvp
+def _log_floored_jvp(primals, tangents):
+    (p,), (p_dot,) = primals, tangents
+    return _log_floored(p), p_dot / jnp.maximum(p, 1e-12)
+
+
 def _safe_log(p, eps: float):
     """Saturation-safe log: a sigmoid that saturates to exactly 0.0/1.0 in
-    f32 must give a large-but-FINITE loss and gradient (torch BCELoss clamps
-    the log at -100 and floors its backward's denominator).  Flooring the
-    input keeps both the value and the 1/p gradient finite."""
-    return jnp.log(jnp.maximum(p + eps, 1e-12))
+    f32 gives a large-but-FINITE loss and a large-but-finite (never zero)
+    gradient, matching torch BCELoss's clamped value + floored backward."""
+    return _log_floored(p + eps)
 
 
 def d_loss_nonsaturating(real_probs, fake_probs, eps: float = 0.0):

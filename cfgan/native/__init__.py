@@ -85,6 +85,8 @@ def read_idx(path: str) -> np.ndarray | None:
             if len(head) != 4 or head[0] or head[1] or head[2] != 0x08:
                 return None
             ndims = head[3]
+            if not 1 <= ndims <= 8:  # dims buffer below has 8 slots
+                return None
             shape = tuple(
                 int.from_bytes(f.read(4), "big") for _ in range(ndims)
             )

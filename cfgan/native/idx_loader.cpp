@@ -32,6 +32,13 @@ int idx_read(const char* path, unsigned char* out, long long out_cap,
     return -3;
   }
   int ndim = header[3];
+  // The caller passes an 8-slot dims array; ndim is a file-controlled byte,
+  // so anything larger is both malformed (MNIST IDX is 1-3 dims) and an
+  // out-of-bounds write hazard.  Reject instead of trusting it.
+  if (ndim < 1 || ndim > 8) {
+    std::fclose(f);
+    return -2;
+  }
   long long total = 1;
   for (int i = 0; i < ndim; ++i) {
     unsigned char b[4];
@@ -42,6 +49,11 @@ int idx_read(const char* path, unsigned char* out, long long out_cap,
     long long d = ((long long)b[0] << 24) | ((long long)b[1] << 16) |
                   ((long long)b[2] << 8) | (long long)b[3];
     dims[i] = d;
+    // Guard total *= d against signed overflow before multiplying.
+    if (d != 0 && total > (0x7fffffffffffffffLL / d)) {
+      std::fclose(f);
+      return -2;
+    }
     total *= d;
   }
   *ndim_out = ndim;

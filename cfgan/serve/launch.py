@@ -27,7 +27,8 @@ def _load_net(path, template_vars, lr=1e-3):
     return NetState.create(restored, adam_like_torch(lr))
 
 
-def launch_mnist(results_dir: str, share: bool = False):
+def launch_mnist(results_dir: str, share: bool = False,
+                 host: str = "127.0.0.1"):
     from cfgan.data.mnist import load_mnist
     from cfgan.experiments.presets import MNIST_COUNTERGAN as cfg
     from cfgan.models.classifiers import CNNClassifier
@@ -47,10 +48,11 @@ def launch_mnist(results_dir: str, share: bool = False):
         patch_size=cfg.countergan.mask.patch_size,
     )
     app = build_mnist_app(engine, xte, yte, cfg.countergan.mask.patch_size)
-    app.launch(server_name="0.0.0.0", share=share)
+    app.launch(server_name=host, share=share)
 
 
-def launch_house(results_dir: str, share: bool = False):
+def launch_house(results_dir: str, share: bool = False,
+                 host: str = "127.0.0.1"):
     from cfgan.data.kc_house import load_kc_house
     from cfgan.experiments.presets import HOUSE_COUNTERGAN as cfg
     from cfgan.models.classifiers import TabularClassifier
@@ -73,10 +75,11 @@ def launch_house(results_dir: str, share: bool = False):
         bundle, clf_model, clf_state, schema=schema, stats=stats,
     )
     app = build_house_app(engine, xte, yte, schema, stats, bins)
-    app.launch(server_name="0.0.0.0", share=share)
+    app.launch(server_name=host, share=share)
 
 
-def launch_moons(results_dir: str, share: bool = False):
+def launch_moons(results_dir: str, share: bool = False,
+                 host: str = "127.0.0.1"):
     from cfgan.data.moons import load_moons3
     from cfgan.experiments.presets import MOONS_COUNTERGAN as cfg
     from cfgan.models.classifiers import MLPClassifier
@@ -99,7 +102,7 @@ def launch_moons(results_dir: str, share: bool = False):
         return clf_model.apply(clf_vars, x, train=False)
 
     app = build_moons_app(engine, clf_fn, xte, yte)
-    app.launch(server_name="0.0.0.0", share=share)
+    app.launch(server_name=host, share=share)
 
 
 def main():
@@ -107,13 +110,19 @@ def main():
     ap.add_argument("--app", required=True, choices=("mnist", "house", "moons"))
     ap.add_argument("--results", default=None)
     ap.add_argument("--share", action="store_true")
+    ap.add_argument(
+        "--host", default=os.environ.get("CFGAN_SERVE_HOST", "127.0.0.1"),
+        help="bind address; loopback by default (the apps load checkpoints "
+        "and may call configured LLM providers, so exposing them on all "
+        "interfaces is an explicit opt-in: --host 0.0.0.0)",
+    )
     args = ap.parse_args()
     default = {"mnist": "results/mnist_countergan",
                "house": "results/house_countergan",
                "moons": "results/moons_countergan"}[args.app]
     results = args.results or default
     {"mnist": launch_mnist, "house": launch_house,
-     "moons": launch_moons}[args.app](results, args.share)
+     "moons": launch_moons}[args.app](results, args.share, args.host)
 
 
 if __name__ == "__main__":

@@ -15,17 +15,42 @@ Reference loops rebuilt here (semantics, not code):
 * WGAN-GP — critic every batch with gradient penalty, G every n_critic
   batches via `lax.cond` (`mnist_wgan_conditional.py:129-189`).
 
-Like the CounteRGAN step, the generator runs forward exactly once per batch
-(its linearization is saved with `jax.vjp` and reused for the G update), so
-the generator's BatchNorm statistics advance once per batch exactly like the
-eager reference.
+For the non-saturating families the generator runs forward exactly once per
+batch (its linearization is saved with `jax.vjp` and reused for the G
+update), so the generator's BatchNorm statistics advance once per batch
+exactly like the eager reference.
 
-Documented deviation (BN discriminators, `separate_d_passes=True`): the
-reference's G phase scores the fake batch through the still-train-mode
-discriminator, updating D's BN *running* stats a third time per batch; here
-that side update is discarded (batch statistics — which drive the gradients —
-are identical, so training dynamics match; only D's stored running averages
-differ, mattering solely for eval-mode D reuse).
+WGAN-GP follows the reference's distinct data flow instead
+(`mnist_wgan_conditional.py:137-168`): the critic phase draws a fresh z and
+generates its fake batch conditioned on the REAL class labels (no grad to G),
+and the gradient-penalty interpolates are conditioned on those same real
+labels; the G phase (every n_critic batches) draws another fresh z with
+RANDOM labels and runs its own generator forward.  The generator's BatchNorm
+running stats therefore advance once per batch plus once more on G-update
+batches, matching the eager reference's two train-mode forwards.
+
+Documented deviations (training dynamics unchanged; listed so parity claims
+stay auditable):
+
+* BN discriminators (`separate_d_passes=True`): the reference's G phase
+  scores the fake batch through the still-train-mode discriminator, updating
+  D's BN *running* stats a third time per batch; here that side update is
+  discarded (batch statistics — which drive the gradients — are identical,
+  so training dynamics match; only D's stored running averages differ,
+  mattering solely for eval-mode D reuse).
+* Non-saturating families reuse the D-phase fake for the G update via the
+  saved vjp, whereas the moons reference draws a FRESH z for the G step
+  (`make_moons_gan.py:78`).  Both z draws come from the same distribution
+  within the same batch; the saving is one generator forward per step.
+* `d_loss_nonsaturating` SUMS the real and fake terms; the simple-MNIST
+  reference averages them (`(real+fake)/2`, `mnist_gan.py:132`).  Adam's
+  per-parameter normalization makes the 2x gradient scale nearly moot, but
+  logged `d_loss` is 2x the reference's convention.
+* The WGAN-GP G-update schedule counts GLOBAL steps (`state.step %
+  n_critic`), while the reference counts per-epoch batch indices
+  (`batch_idx % n_critic`, `mnist_wgan_conditional.py:157`); they coincide
+  whenever steps_per_epoch is a multiple of n_critic and otherwise differ
+  only in phase.
 """
 from __future__ import annotations
 
@@ -72,7 +97,9 @@ def make_gan_step(
 
     def step(state: GANState, x, y, key):
         b = x.shape[0]
-        k_z, k_c, k_gp = jax.random.split(jax.random.fold_in(key, state.step), 3)
+        k_z, k_c, k_gp, k_z2 = jax.random.split(
+            jax.random.fold_in(key, state.step), 4
+        )
         z = sample_latent(k_z, b, x.dtype)
         if conditional:
             t = fake_cond(k_c, b)
@@ -81,13 +108,28 @@ def make_gan_step(
         else:
             t_oh = y_oh = jnp.zeros((b, 0), x.dtype)
 
-        # ---- generator forward once; linearization saved ----
-        def g_fn(g_params):
-            fake, new_stats = g_apply(g_params, state.g.stats, z, t_oh, k_z)
-            return fake, new_stats
+        # ---- generator forward for the D/critic phase ----
+        if wgan:
+            # reference critic phase (`mnist_wgan_conditional.py:141-143`):
+            # fresh z, fakes conditioned on the REAL class labels, generated
+            # under no_grad (no linearization needed — the G update below
+            # runs its own forward with fresh z + random labels)
+            fake, new_g_stats = g_apply(state.g.params, state.g.stats, z,
+                                        y_oh, k_z)
+            fake_sg = jax.lax.stop_gradient(fake)
+            g_vjp = None
+            d_fake_cond = y_oh
+        else:
+            # linearization saved; reused for the G update
+            def g_fn(g_params):
+                fake, new_stats = g_apply(g_params, state.g.stats, z, t_oh,
+                                          k_z)
+                return fake, new_stats
 
-        fake, g_vjp, new_g_stats = jax.vjp(g_fn, state.g.params, has_aux=True)
-        fake_sg = jax.lax.stop_gradient(fake)
+            fake, g_vjp, new_g_stats = jax.vjp(g_fn, state.g.params,
+                                               has_aux=True)
+            fake_sg = jax.lax.stop_gradient(fake)
+            d_fake_cond = t_oh
 
         def d_loss_fn(d_params):
             if separate_d_passes:
@@ -99,19 +141,21 @@ def make_gan_step(
                 real_out, d_stats1 = d_apply(d_params, state.d.stats, x,
                                              y_oh, True)
                 fake_out, new_d_stats = d_apply(d_params, d_stats1, fake_sg,
-                                                t_oh, True)
+                                                d_fake_cond, True)
             else:
                 xx = jnp.concatenate([x, fake_sg], axis=0)
-                cc = jnp.concatenate([y_oh, t_oh], axis=0)
+                cc = jnp.concatenate([y_oh, d_fake_cond], axis=0)
                 out, new_d_stats = d_apply(d_params, state.d.stats, xx, cc,
                                            True)
                 real_out, fake_out = jnp.split(out, 2, axis=0)
             if wgan:
                 dl = losses.d_loss_wasserstein(real_out, fake_out)
+                # GP interpolates conditioned on the real labels, like the
+                # critic-phase fakes (`mnist_wgan_conditional.py:146-148`)
                 gp = losses.gradient_penalty(
                     lambda xh, ch: d_apply(d_params, state.d.stats, xh, ch,
                                            False)[0],
-                    k_gp, x, fake_sg, t_oh,
+                    k_gp, x, fake_sg, d_fake_cond,
                 )
                 dl = dl + gp_lambda * gp
             else:
@@ -119,14 +163,31 @@ def make_gan_step(
             return dl, (new_d_stats, jnp.mean(real_out), jnp.mean(fake_out))
 
         def g_loss_and_update(d_net: NetState, g_stats):
+            if wgan:
+                # reference G phase (`mnist_wgan_conditional.py:157-165`):
+                # fresh z, RANDOM labels, its own train-mode G forward (so
+                # BN running stats advance a second time on G batches)
+                z2 = sample_latent(k_z2, b, x.dtype)
+
+                def g_terms(g_params):
+                    fake2, g_stats2 = g_apply(g_params, g_stats, z2, t_oh,
+                                              k_z2)
+                    out, _ = d_apply(d_net.params, d_net.stats, fake2, t_oh,
+                                     False)
+                    return losses.g_loss_wasserstein(out), g_stats2
+
+                (gl, g_stats2), g_grads = jax.value_and_grad(
+                    g_terms, has_aux=True
+                )(state.g.params)
+                return (state.g.apply_grads(tx_g, g_grads,
+                                            new_stats=g_stats2), gl)
+
             def g_terms(fake_in):
                 # BN discriminators also score the generator batch with
                 # train-mode (batch) statistics, like the eager reference;
                 # the running-stat side update is discarded here
                 out, _ = d_apply(d_net.params, d_net.stats, fake_in, t_oh,
                                  separate_d_passes)
-                if wgan:
-                    return losses.g_loss_wasserstein(out)
                 return losses.g_loss_nonsaturating(out, eps)
 
             gl, ct = jax.value_and_grad(g_terms)(fake)

@@ -127,3 +127,18 @@ def test_nonsaturating_losses_survive_saturated_discriminator():
         jnp.asarray([-100.0, 0.0, 100.0])  # saturates sigmoid in f32
     )
     assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_saturated_discriminator_gradient_is_nonzero():
+    """A fully saturated D (p == 0 exactly) must still push the generator:
+    d/dp[-log p] is floored at -1e12 like torch BCELoss's backward, never
+    zeroed (a zero gradient would stall G exactly when it needs rescuing)."""
+    from cfgan.losses.gan import g_loss_nonsaturating
+
+    g = jax.grad(lambda p: g_loss_nonsaturating(p))(jnp.asarray([0.0]))
+    assert np.isfinite(float(g[0]))
+    assert float(g[0]) <= -1e11  # large finite push, not 0
+
+    # well away from saturation the gradient is the exact -1/p
+    g2 = jax.grad(lambda p: g_loss_nonsaturating(p))(jnp.asarray([0.25]))
+    np.testing.assert_allclose(float(g2[0]), -4.0, rtol=1e-6)

@@ -50,6 +50,44 @@ def test_read_idx_rejects_gz_and_garbage(built, tmp_path):
     assert native.read_idx(bad) is None
 
 
+def test_read_idx_rejects_oversized_ndim_and_overflow(built, tmp_path):
+    """ndim is a file-controlled byte; anything > 8 would overrun the
+    8-slot dims buffer (heap corruption) — must be rejected up front, and
+    dim products that overflow int64 must be rejected too."""
+    import ctypes
+
+    big_ndim = str(tmp_path / "big_ndim.idx")
+    with open(big_ndim, "wb") as f:
+        f.write(bytes([0, 0, 0x08, 255]))
+        f.write(struct.pack(">I", 2) * 255)
+        f.write(b"\x00" * 4)
+    assert native.read_idx(big_ndim) is None
+
+    # drive the C entry point directly with the hostile header: it must
+    # return a header error without touching dims beyond 8 slots
+    L = native.lib()
+    out = np.empty(16, np.uint8)
+    dims = (ctypes.c_longlong * 8)()
+    ndim = ctypes.c_int(0)
+    rc = L.idx_read(
+        big_ndim.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        out.size, dims, ctypes.byref(ndim),
+    )
+    assert rc == -2
+
+    overflow = str(tmp_path / "overflow.idx")
+    with open(overflow, "wb") as f:
+        f.write(bytes([0, 0, 0x08, 8]))
+        f.write(struct.pack(">I", 0xFFFFFFFF) * 8)  # product >> 2^63
+    rc = L.idx_read(
+        overflow.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        out.size, dims, ctypes.byref(ndim),
+    )
+    assert rc == -2
+
+
 def test_normalize_parity(built):
     rng = np.random.RandomState(1)
     x = rng.randint(0, 256, (3, 28, 28), dtype=np.uint8)
