@@ -78,45 +78,95 @@ def _load_real(data_dir: str):
 
 
 # ----------------------------------------------------------- synthetic MNIST
+# Font/weight/style variants rendered per digit.  One glyph per class (v1)
+# made the corpus trivially separable (CNN test acc 0.9999 — flagged in the
+# round-1 review); multiple typefaces + elastic distortion + stroke-weight
+# variation bring the classifier to realistic real-MNIST-like accuracy.
+_FONT_VARIANTS = (
+    ("DejaVu Sans", "normal", "normal"),
+    ("DejaVu Sans", "bold", "normal"),
+    ("DejaVu Sans", "normal", "italic"),
+    ("DejaVu Serif", "normal", "normal"),
+    ("DejaVu Serif", "bold", "normal"),
+    ("DejaVu Serif", "normal", "italic"),
+    ("DejaVu Sans Mono", "normal", "normal"),
+    ("DejaVu Sans Mono", "bold", "normal"),
+    ("STIXGeneral", "normal", "normal"),
+    ("STIXGeneral", "bold", "normal"),
+    ("STIXGeneral", "normal", "italic"),
+    ("cmr10", "normal", "normal"),
+    ("cmss10", "normal", "normal"),
+    ("cmb10", "normal", "normal"),
+)
+
+
 def _render_glyphs(size: int = 56) -> np.ndarray:
-    """Render digits 0-9 once with matplotlib into (10, size, size) in [0,1]."""
+    """Render digits 0-9 in every font variant with matplotlib into
+    (n_variants, 10, size, size) in [0,1]."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    glyphs = np.zeros((10, size, size), np.float32)
-    for d in range(10):
-        fig = plt.figure(figsize=(1, 1), dpi=size)
-        fig.patch.set_facecolor("black")
-        ax = fig.add_axes([0, 0, 1, 1])
-        ax.set_facecolor("black")
-        ax.axis("off")
-        ax.text(
-            0.5,
-            0.475,
-            str(d),
-            color="white",
-            fontsize=int(size * 0.82),
-            ha="center",
-            va="center",
-            family="DejaVu Sans",
-        )
-        fig.canvas.draw()
-        buf = np.asarray(fig.canvas.buffer_rgba())[..., 0].astype(np.float32) / 255.0
-        plt.close(fig)
-        glyphs[d] = buf[:size, :size]
+    nv = len(_FONT_VARIANTS)
+    glyphs = np.zeros((nv, 10, size, size), np.float32)
+    for v, (family, weight, style) in enumerate(_FONT_VARIANTS):
+        for d in range(10):
+            fig = plt.figure(figsize=(1, 1), dpi=size)
+            fig.patch.set_facecolor("black")
+            ax = fig.add_axes([0, 0, 1, 1])
+            ax.set_facecolor("black")
+            ax.axis("off")
+            ax.text(
+                0.5,
+                0.475,
+                str(d),
+                color="white",
+                fontsize=int(size * 0.82),
+                ha="center",
+                va="center",
+                family=family,
+                weight=weight,
+                style=style,
+            )
+            fig.canvas.draw()
+            buf = (
+                np.asarray(fig.canvas.buffer_rgba())[..., 0].astype(np.float32)
+                / 255.0
+            )
+            plt.close(fig)
+            glyphs[v, d] = buf[:size, :size]
     return glyphs
 
 
-def _affine_sample(glyphs, labels, thetas, scales, tx, ty, out: int = 28):
-    """Vectorized bilinear sampling of per-sample affine transforms."""
+def _upsample_matrix(coarse: int, out: int) -> np.ndarray:
+    """(out, coarse) bilinear interpolation matrix mapping a coarse grid to
+    `out` points (used to build smooth per-sample elastic fields)."""
+    U = np.zeros((out, coarse), np.float32)
+    pos = np.linspace(0, coarse - 1, out)
+    lo = np.floor(pos).astype(np.int32)
+    hi = np.minimum(lo + 1, coarse - 1)
+    frac = (pos - lo).astype(np.float32)
+    U[np.arange(out), lo] += 1 - frac
+    U[np.arange(out), hi] += frac
+    return U
+
+
+def _warp_sample(glyphs, variants, labels, thetas, scales, tx, ty,
+                 disp=None, out: int = 28):
+    """Vectorized bilinear sampling of per-sample affine (+elastic)
+    transforms.  `disp` is an optional (n, out, out, 2) displacement field
+    in output-pixel units (elastic distortion)."""
     n = labels.shape[0]
     gsize = glyphs.shape[-1]
     cy_out = (out - 1) / 2.0
     cy_in = (gsize - 1) / 2.0
     yy, xx = np.meshgrid(np.arange(out), np.arange(out), indexing="ij")
     base = np.stack([yy - cy_out, xx - cy_out], -1).reshape(-1, 2).astype(np.float32)
+    if disp is not None:
+        base = base[None] + disp.reshape(n, -1, 2)
+    else:
+        base = np.broadcast_to(base[None], (n,) + base.shape)
 
     cos, sin = np.cos(thetas), np.sin(thetas)
     # inverse rotation then inverse scale, glyph is ~2x the output resolution
@@ -124,7 +174,7 @@ def _affine_sample(glyphs, labels, thetas, scales, tx, ty, out: int = 28):
     rot = np.stack(
         [np.stack([cos, -sin], -1), np.stack([sin, cos], -1)], -2
     )  # (n,2,2)
-    coords = np.einsum("pk,nkj->npj", base, rot) * factor[:, None, None]
+    coords = np.einsum("npk,nkj->npj", base, rot) * factor[:, None, None]
     coords[..., 0] += cy_in + ty[:, None] * (gsize / out)
     coords[..., 1] += cy_in + tx[:, None] * (gsize / out)
 
@@ -137,7 +187,7 @@ def _affine_sample(glyphs, labels, thetas, scales, tx, ty, out: int = 28):
         valid = (yi >= 0) & (yi < gsize) & (xi >= 0) & (xi < gsize)
         yi = np.clip(yi, 0, gsize - 1)
         xi = np.clip(xi, 0, gsize - 1)
-        vals = glyphs[labels[:, None], yi, xi]
+        vals = glyphs[variants[:, None], labels[:, None], yi, xi]
         return vals * valid
 
     v = (
@@ -150,30 +200,47 @@ def _affine_sample(glyphs, labels, thetas, scales, tx, ty, out: int = 28):
 
 
 def synthesize(n: int, seed: int, glyphs: np.ndarray | None = None):
+    """Deterministic handwriting-like corpus: random typeface variant per
+    sample, affine jitter (rotation/scale/translation), smooth ELASTIC
+    distortion (coarse random displacement grid bilinearly upsampled — the
+    classic MNIST augmentation), stroke-weight variation via gamma, pixel
+    noise and intensity scaling."""
     rng = np.random.RandomState(seed)
     if glyphs is None:
         glyphs = _render_glyphs()
+    nv = glyphs.shape[0]
     labels = rng.randint(0, 10, n).astype(np.int32)
+    variants = rng.randint(0, nv, n).astype(np.int32)
     thetas = rng.uniform(-0.26, 0.26, n).astype(np.float32)  # ~15 deg
     scales = rng.uniform(0.75, 1.05, n).astype(np.float32)
     tx = rng.uniform(-2.5, 2.5, n).astype(np.float32)
     ty = rng.uniform(-2.5, 2.5, n).astype(np.float32)
+    # elastic: per-sample 5x5 displacement grid, upsampled to 28x28
+    coarse = 5
+    alpha = rng.uniform(0.3, 2.0, (n, 1, 1, 1)).astype(np.float32)
+    grid = rng.normal(0.0, 1.0, (n, coarse, coarse, 2)).astype(np.float32)
+    U = _upsample_matrix(coarse, 28)
+    disp = np.einsum("ij,njkc,lk->nilc", U, grid * alpha, U)
+    # stroke weight: gamma < 1 thickens antialiased strokes, > 1 thins
+    gamma = rng.uniform(0.6, 1.7, (n, 1, 1)).astype(np.float32)
 
     imgs = np.zeros((n, 28, 28), np.float32)
     for lo in range(0, n, 8192):
         hi = min(n, lo + 8192)
-        imgs[lo:hi] = _affine_sample(
-            glyphs, labels[lo:hi], thetas[lo:hi], scales[lo:hi], tx[lo:hi], ty[lo:hi]
+        imgs[lo:hi] = _warp_sample(
+            glyphs, variants[lo:hi], labels[lo:hi], thetas[lo:hi],
+            scales[lo:hi], tx[lo:hi], ty[lo:hi], disp[lo:hi],
         )
+    imgs = np.power(np.clip(imgs, 0.0, 1.0), gamma)
     imgs += rng.normal(0.0, 0.04, imgs.shape).astype(np.float32)
-    imgs *= rng.uniform(0.75, 1.0, (n, 1, 1)).astype(np.float32)
+    imgs *= rng.uniform(0.7, 1.0, (n, 1, 1)).astype(np.float32)
     imgs = np.clip(imgs, 0.0, 1.0)
     return (imgs * 255).astype(np.uint8), labels
 
 
 def _load_synthetic(seed: int = 0):
     os.makedirs(_CACHE, exist_ok=True)
-    cache = os.path.join(_CACHE, f"synthetic_mnist_v1_{seed}.npz")
+    cache = os.path.join(_CACHE, f"synthetic_mnist_v2_{seed}.npz")
     if os.path.exists(cache):
         with np.load(cache) as z:
             return (z["xtr"], z["ytr"]), (z["xte"], z["yte"])

@@ -11,9 +11,12 @@ TPU-native rebuilds of the reference apps:
   CF arrow plot.
 
 gradio is an optional dependency: each `build_*_app` raises a clear error
-when it is missing, and all decision logic lives in `cfgan.serve.engine` /
-`cfgan.serve.intent` so it stays unit-testable without a UI.  LLM chat uses
-`cfgan.serve.intent.llm_client()` (env-keyed; regex fallback otherwise).
+when it is missing, and ALL decision logic lives in the UI-independent
+backend classes (`MnistChatBackend`, `HouseBackend`, `MoonsBackend`) plus
+`cfgan.serve.engine` / `cfgan.serve.intent`, so everything stays
+unit-testable without a UI — the gradio builders are thin bindings.  LLM
+chat uses `cfgan.serve.intent.llm_client()` (env-keyed; regex fallback
+otherwise).
 """
 from __future__ import annotations
 
@@ -168,47 +171,67 @@ def build_mnist_app(engine, x_test, y_test, patch_size: int = 7):
 
 
 # ------------------------------------------------------------------- house
-def build_house_app(engine, x_test, y_test, schema, stats, bins=None):
-    gr = _require_gradio()
-    rng = np.random.RandomState(0)
-    x_test = np.asarray(x_test)
-    y_test = np.asarray(y_test)
-    state = {"idx": 0}
+class HouseBackend:
+    """UI-independent logic behind the house app
+    (`house_sales_kc_usa/gradio_app.py:51-217`), mirroring the
+    MnistChatBackend pattern so it stays unit-testable without gradio."""
 
-    def class_overview():
-        if bins is None:
+    def __init__(self, engine: CounterfactualEngine, x_test, y_test, schema,
+                 stats, bins=None, seed: int = 0):
+        self.engine = engine
+        self.x = np.asarray(x_test)
+        self.y = np.asarray(y_test)
+        self.schema = schema
+        self.stats = stats
+        self.bins = bins
+        self.rng = np.random.RandomState(seed)
+        self.current_idx = 0
+
+    def class_overview(self) -> str:
+        """Price-bin ranges (`house gradio_app.py:51-54`)."""
+        if self.bins is None:
             return "4 price quartile classes (Q0 cheapest .. Q3 priciest)."
         lines = [f"- class {i}: ${lo:,.0f} – ${hi:,.0f}"
-                 for i, (lo, hi) in enumerate(zip(bins[:-1], bins[1:]))]
+                 for i, (lo, hi) in enumerate(zip(self.bins[:-1],
+                                                  self.bins[1:]))]
         return "Price classes:\n" + "\n".join(lines)
 
-    def show_sample(source_class):
-        pool = np.nonzero(y_test == int(source_class))[0]
-        state["idx"] = int(rng.choice(pool))
-        x = x_test[state["idx"]]
-        raw = np.asarray(stats.inverse_transform(x))
-        probs = engine.classify(x)[0]
+    def show_sample(self, source_class: int):
+        """Random sample of a source class: denormalized feature table +
+        classifier probs (`house gradio_app.py:57-141`)."""
+        pool = np.nonzero(self.y == int(source_class))[0]
+        if len(pool) == 0:
+            raise ValueError(f"no test samples of class {source_class}")
+        self.current_idx = int(self.rng.choice(pool))
+        x = self.x[self.current_idx]
+        raw = np.asarray(self.stats.inverse_transform(x))
+        probs = self.engine.classify(x)[0]
         import pandas as pd
 
-        table = pd.DataFrame({"feature": schema.feature_names, "value": raw})
+        table = pd.DataFrame({"feature": self.schema.feature_names,
+                              "value": raw})
         prob_txt = " | ".join(f"Q{i}: {p:.2f}" for i, p in enumerate(probs))
         return table, f"Classifier: {prob_txt}"
 
-    def generate(target_class, instruction):
+    def generate(self, target_class: int, instruction: str):
+        """NL instruction -> allowed-feature mask -> CF diff table
+        (`house gradio_app.py:150-217`; the reference's KeyError on
+        `abs_delta`/`orig`/`cf` columns is fixed by building the table from
+        one source of truth)."""
         allowed = intent.parse_feature_instruction_llm(instruction or "",
-                                                      schema)
+                                                       self.schema)
         if not allowed:
-            allowed = [f for f in schema.feature_names
-                       if f not in schema.immutable_features]
-        x = x_test[state["idx"]][None]
-        mask = engine.mask_from_feature_names(allowed, 1)
-        res = engine.generate(x, int(target_class), mask)
-        orig_raw = np.asarray(stats.inverse_transform(x[0]))
-        cf_raw = np.asarray(stats.inverse_transform(res.x_cf[0]))
+            allowed = [f for f in self.schema.feature_names
+                       if f not in self.schema.immutable_features]
+        x = self.x[self.current_idx][None]
+        mask = self.engine.mask_from_feature_names(allowed, 1)
+        res = self.engine.generate(x, int(target_class), mask)
+        orig_raw = np.asarray(self.stats.inverse_transform(x[0]))
+        cf_raw = np.asarray(self.stats.inverse_transform(res.x_cf[0]))
         import pandas as pd
 
         df = pd.DataFrame({
-            "feature": schema.feature_names,
+            "feature": self.schema.feature_names,
             "original": orig_raw,
             "counterfactual": cf_raw,
             "change": cf_raw - orig_raw,
@@ -219,8 +242,14 @@ def build_house_app(engine, x_test, y_test, schema, stats, bins=None):
                    f"allowed features: {', '.join(allowed)}")
         return df, verdict
 
+
+def build_house_app(engine, x_test, y_test, schema, stats, bins=None):
+    gr = _require_gradio()
+    backend = HouseBackend(engine, x_test, y_test, schema, stats, bins)
+
     with gr.Blocks(title="House price counterfactuals") as demo:
-        gr.Markdown("# Promptable housing counterfactuals\n" + class_overview())
+        gr.Markdown("# Promptable housing counterfactuals\n"
+                    + backend.class_overview())
         src = gr.Dropdown([0, 1, 2, 3], value=0, label="Source class")
         show = gr.Button("Show random sample")
         table = gr.Dataframe(label="Sample")
@@ -230,39 +259,53 @@ def build_house_app(engine, x_test, y_test, schema, stats, bins=None):
         go = gr.Button("Generate counterfactual")
         diff = gr.Dataframe(label="Counterfactual diff")
         verdict = gr.Markdown()
-        show.click(show_sample, [src], [table, probs])
-        go.click(generate, [tgt, instr], [diff, verdict])
+        show.click(backend.show_sample, [src], [table, probs])
+        go.click(backend.generate, [tgt, instr], [diff, verdict])
     return demo
 
 
 # ------------------------------------------------------------------- moons
-def build_moons_app(engine, clf_fn, x_test, y_test):
-    gr = _require_gradio()
-    rng = np.random.RandomState(0)
-    x_test = np.asarray(x_test)
-    y_test = np.asarray(y_test)
-    state = {"idx": 0}
-    mask_rows = {"both": (1.0, 1.0), "x_only": (1.0, 0.0),
+class MoonsBackend:
+    """UI-independent logic behind the moons app
+    (`moons/gradio_app.py:33-121`)."""
+
+    MASK_ROWS = {"both": (1.0, 1.0), "x_only": (1.0, 0.0),
                  "y_only": (0.0, 1.0), "none": (0.0, 0.0)}
 
-    def show_sample(source_class):
-        pool = np.nonzero(y_test == int(source_class))[0]
-        state["idx"] = int(rng.choice(pool))
+    def __init__(self, engine: CounterfactualEngine, clf_fn, x_test, y_test,
+                 seed: int = 0):
+        self.engine = engine
+        self.clf_fn = clf_fn
+        self.x = np.asarray(x_test)
+        self.y = np.asarray(y_test)
+        self.rng = np.random.RandomState(seed)
+        self.current_idx = 0
+
+    def show_sample(self, source_class: int) -> str:
+        """Random sample + decision-boundary plot; returns the PNG path
+        (`moons/gradio_app.py:45-75`)."""
+        pool = np.nonzero(self.y == int(source_class))[0]
+        if len(pool) == 0:
+            raise ValueError(f"no test samples of class {source_class}")
+        self.current_idx = int(self.rng.choice(pool))
         from cfgan.eval.boundaries import plot_decision_boundaries_only
 
         path = _tmp_png()
         plot_decision_boundaries_only(
-            clf_fn, x_test, y_test, path, num_classes=engine.num_classes,
-            highlight=x_test[state["idx"]],
+            self.clf_fn, self.x, self.y, path,
+            num_classes=self.engine.num_classes,
+            highlight=self.x[self.current_idx],
         )
         return path
 
-    def generate(target_class, mask_choice):
-        x = x_test[state["idx"]][None]
+    def generate(self, target_class: int, mask_choice: str):
+        """CF for the current sample under a mask policy; returns
+        (arrow-plot path, result, verdict) (`moons/gradio_app.py:79-121`)."""
+        x = self.x[self.current_idx][None]
         mask = np.broadcast_to(
-            np.asarray(mask_rows[mask_choice], np.float32), (1, 2)
+            np.asarray(self.MASK_ROWS[mask_choice], np.float32), (1, 2)
         )
-        res = engine.generate(x, int(target_class), mask)
+        res = self.engine.generate(x, int(target_class), mask)
         import matplotlib
 
         matplotlib.use("Agg")
@@ -270,25 +313,35 @@ def build_moons_app(engine, clf_fn, x_test, y_test):
 
         path = _tmp_png()
         fig, ax = plt.subplots(figsize=(5, 4))
-        ax.scatter(x_test[:, 0], x_test[:, 1], c=y_test, s=6, alpha=0.3)
+        ax.scatter(self.x[:, 0], self.x[:, 1], c=self.y, s=6, alpha=0.3)
         ax.annotate("", xy=res.x_cf[0], xytext=x[0],
                     arrowprops=dict(arrowstyle="->", color="red", lw=2))
         ax.set_title(f"pred {res.pred[0]} ({res.confidence[0]:.2f})")
         fig.tight_layout()
         fig.savefig(path, dpi=120)
         plt.close(fig)
-        return path, ("flip succeeded" if res.flipped[0] else "no flip")
+        return path, res, ("flip succeeded" if res.flipped[0] else "no flip")
+
+
+def build_moons_app(engine, clf_fn, x_test, y_test):
+    gr = _require_gradio()
+    backend = MoonsBackend(engine, clf_fn, x_test, y_test)
+
+    def generate_ui(target_class, mask_choice):
+        path, _, verdict = backend.generate(target_class, mask_choice)
+        return path, verdict
 
     with gr.Blocks(title="Moons counterfactuals") as demo:
         gr.Markdown("# Moons counterfactuals")
         src = gr.Dropdown([0, 1, 2], value=0, label="Source class")
         show = gr.Button("Show random sample")
         img = gr.Image(type="filepath")
-        mask = gr.Radio(list(mask_rows), value="both", label="Modifiable dims")
+        mask = gr.Radio(list(MoonsBackend.MASK_ROWS), value="both",
+                        label="Modifiable dims")
         tgt = gr.Dropdown([0, 1, 2], value=1, label="Target class")
         go = gr.Button("Generate")
         out = gr.Image(type="filepath")
         msg = gr.Markdown()
-        show.click(show_sample, [src], [img])
-        go.click(generate, [tgt, mask], [out, msg])
+        show.click(backend.show_sample, [src], [img])
+        go.click(generate_ui, [tgt, mask], [out, msg])
     return demo

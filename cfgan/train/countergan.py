@@ -193,12 +193,17 @@ def make_countergan_step(
     return step
 
 
-def make_epoch_runner(step_fn, donate: bool = True):
+def make_epoch_runner(step_fn, donate: bool = True, reduce: bool = True):
     """Compile a whole epoch as one `lax.scan` over shuffled batch indices.
 
     The dataset lives in device memory; each step gathers its minibatch by
     index.  Zero host round-trips per step — this is where the >=10x over the
     per-batch-dispatch PyTorch loop comes from.
+
+    `reduce=False` returns the per-step metric traces (shape `(steps,)`)
+    instead of their epoch means — used by the epoch-scale parity harness to
+    compare every step of the scanned production path against the PyTorch
+    oracle loop.
     """
 
     def epoch(state: GANState, data_x, data_y, perm, key):
@@ -210,6 +215,8 @@ def make_epoch_runner(step_fn, donate: bool = True):
             return st, metrics
 
         state, stacked = jax.lax.scan(body, state, perm)
+        if not reduce:
+            return state, stacked
         return state, jax.tree_util.tree_map(jnp.mean, stacked)
 
     return jax.jit(epoch, donate_argnums=(0,) if donate else ())

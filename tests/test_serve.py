@@ -193,3 +193,157 @@ def test_mnist_chat_backend_with_mock_llm():
     # transcript contains prior turns and the new user message
     assert "User: hi" in prompts[0] and "Assistant: hello" in prompts[0]
     assert "show me a two" in prompts[0]
+
+
+# ------------------------------------------------- house / moons backends
+def _tabular_engine():
+    """Tiny fabricated tabular engine over the real KC schema."""
+    n_feat = KC_SCHEMA.input_dim
+
+    def cf_fn(g_vars, x, target, mask, key=None):
+        raw = 0.1 * jnp.ones_like(x)
+        return jnp.clip(x + raw * mask, 0, 1), raw, raw * mask
+
+    Wm = jax.random.normal(jax.random.key(0), (n_feat, 4))
+    clf_fn = lambda x: x @ Wm
+    stats = __import__("cfgan.data.transforms", fromlist=["NormStats"]).NormStats(
+        data_min=np.zeros(n_feat, np.float32),
+        data_max=np.full(n_feat, 10.0, np.float32),
+    )
+    eng = CounterfactualEngine(cf_fn, clf_fn, {}, num_classes=4,
+                               schema=KC_SCHEMA, stats=stats)
+    return eng, stats
+
+
+def test_house_backend_show_and_generate():
+    """house gradio logic without gradio: sample table, prob summary, NL
+    instruction -> masked CF diff table with consistent column names (the
+    reference's KeyError columns bug fixed, `house gradio_app.py:195-199`)."""
+    from cfgan.serve.apps import HouseBackend
+
+    eng, stats = _tabular_engine()
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0, 1, (40, KC_SCHEMA.input_dim)).astype(np.float32)
+    y = rng.randint(0, 4, 40)
+    y[:4] = np.arange(4)
+    backend = HouseBackend(eng, x, y, KC_SCHEMA, stats, bins=[0, 1e5, 2e5, 4e5, 8e5])
+
+    overview = backend.class_overview()
+    assert "class 0" in overview and "$" in overview
+
+    table, prob_txt = backend.show_sample(2)
+    assert y[backend.current_idx] == 2
+    assert list(table.columns) == ["feature", "value"]
+    assert len(table) == KC_SCHEMA.input_dim
+    # denormalization applied (values in raw space, not [0,1])
+    assert table["value"].abs().max() > 1.0
+    assert "Q0" in prob_txt and "Q3" in prob_txt
+
+    df, verdict = backend.generate(3, "only the grade may change")
+    for col in ("feature", "original", "counterfactual", "change", "abs_delta"):
+        assert col in df.columns
+    # residual confined to the allowed feature
+    changed = df[df["abs_delta"] > 0]["feature"].tolist()
+    assert changed == ["grade"]
+    assert "grade" in verdict
+
+    # empty instruction -> all mutable features allowed, immutables frozen
+    df2, _ = backend.generate(1, "")
+    frozen = df2[df2["feature"].isin(KC_SCHEMA.immutable_features)]
+    assert (frozen["abs_delta"] == 0).all()
+
+
+def test_moons_backend_show_and_generate(moons_engine, tmp_path):
+    from cfgan.serve.apps import MoonsBackend
+
+    eng, xte, yte = moons_engine
+    clf_fn = eng.clf_fn
+    backend = MoonsBackend(eng, clf_fn, xte, yte)
+
+    path = backend.show_sample(1)
+    assert path.endswith(".png")
+    assert yte[backend.current_idx] == 1
+
+    out, res, verdict = backend.generate(2, "x_only")
+    assert out.endswith(".png")
+    # x_only mask: feature 1 (y) untouched
+    x0 = np.asarray(xte)[backend.current_idx]
+    assert abs(res.x_cf[0][1] - x0[1]) == 0.0
+    assert verdict in ("flip succeeded", "no flip")
+
+    _, res_none, _ = backend.generate(2, "none")
+    np.testing.assert_array_equal(res_none.x_cf[0], x0)
+
+
+class _StubComponent:
+    def __init__(self, *a, **k):
+        pass
+
+
+class _StubBlocks:
+    """Minimal gradio stand-in recording event bindings."""
+
+    instances = []
+
+    def __init__(self, *a, **k):
+        self.bindings = []
+        _StubBlocks.instances.append(self)
+
+    def __enter__(self):
+        _StubBlocks.current = self
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def _stub_gradio(monkeypatch):
+    import sys
+    import types
+
+    gr = types.ModuleType("gradio")
+
+    def _component(*a, **k):
+        comp = _StubComponent()
+
+        def bind(fn, inputs, outputs):
+            _StubBlocks.current.bindings.append((fn, inputs, outputs))
+
+        comp.click = bind
+        comp.submit = bind
+        return comp
+
+    gr.Blocks = _StubBlocks
+    for name in ("Markdown", "Chatbot", "Image", "Textbox", "Dropdown",
+                 "Button", "Dataframe", "Radio"):
+        setattr(gr, name, _component)
+    monkeypatch.setitem(sys.modules, "gradio", gr)
+    return gr
+
+
+def test_build_apps_wire_backends_with_stub_gradio(monkeypatch, moons_engine):
+    """The gradio builders are thin bindings over the backends: with a stub
+    gradio module, every bound callback is backend logic that actually runs."""
+    from cfgan.serve.apps import build_house_app, build_moons_app
+
+    _stub_gradio(monkeypatch)
+    eng, xte, yte = moons_engine
+    demo = build_moons_app(eng, eng.clf_fn, xte, yte)
+    assert len(demo.bindings) == 2
+    show_fn = demo.bindings[0][0]
+    gen_fn = demo.bindings[1][0]
+    assert show_fn(0).endswith(".png")
+    out, verdict = gen_fn(1, "both")
+    assert out.endswith(".png") and isinstance(verdict, str)
+
+    heng, stats = _tabular_engine()
+    rng = np.random.RandomState(0)
+    xh = rng.uniform(0, 1, (20, KC_SCHEMA.input_dim)).astype(np.float32)
+    yh = rng.randint(0, 4, 20)
+    yh[:4] = np.arange(4)
+    hdemo = build_house_app(heng, xh, yh, KC_SCHEMA, stats)
+    assert len(hdemo.bindings) == 2
+    table, probs = hdemo.bindings[0][0](0)
+    assert len(table) == KC_SCHEMA.input_dim
+    df, verdict = hdemo.bindings[1][0](3, "change the bedrooms")
+    assert "abs_delta" in df.columns
