@@ -82,6 +82,38 @@ def load_metadata(path: str) -> dict[str, Any] | None:
         return json.load(f)
 
 
+def save_train_state(path: str, state, epoch: int,
+                     history: dict | None = None,
+                     metadata: dict[str, Any] | None = None) -> str:
+    """Mid-run checkpoint of a full GANState (G/D params, optimizer states,
+    BN/spectral stats, step counter) + the loop position.
+
+    Capability uplift over the reference, which only saves bare
+    `state_dict`s at stage boundaries (`house trainer.py:121-130`): together
+    with the loop's stateless per-epoch PRNG derivation
+    (`fold_in(key, 2*epoch)`), restoring this checkpoint continues training
+    BIT-IDENTICALLY to the uninterrupted run (pinned by
+    tests/test_checkpoint.py::test_midrun_resume_is_bit_identical).
+    """
+    meta = dict(metadata or {})
+    meta["epoch"] = int(epoch)
+    if history is not None:
+        meta["history"] = {
+            k: [float(v) for v in vs] if isinstance(vs, list) else float(vs)
+            for k, vs in history.items()
+        }
+    return save(path, state, metadata=meta)
+
+
+def restore_train_state(path: str, template):
+    """Returns (state, next_epoch, history) from a `save_train_state`
+    checkpoint; `template` is a structurally-matching GANState (e.g. the
+    freshly-built bundle's)."""
+    state = restore(path, template)
+    meta = load_metadata(path) or {}
+    return state, int(meta.get("epoch", -1)) + 1, meta.get("history", {})
+
+
 def save_sharded(path: str, tree, metadata: dict[str, Any] | None = None) -> str:
     """Orbax-backed checkpoint for sharded / multi-host states: each leaf is
     written with its sharding preserved (every host writes only its shards).

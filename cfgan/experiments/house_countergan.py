@@ -113,6 +113,8 @@ def run(cfg=HOUSE_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
             batch_size=cfg.data.batch_size,
             seed=cfg.seed,
             log_every=max(1, cfg.countergan.epochs // 10),
+            checkpoint_dir=os.path.join(out_dir, "train_state"),
+            checkpoint_every=max(1, cfg.countergan.epochs // 4),
         )
         ckpt.save(gen_dir, state.g.variables(),
                   metadata={"stats": stats.to_metadata()})

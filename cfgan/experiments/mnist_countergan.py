@@ -101,6 +101,8 @@ def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
             epochs=cfg.countergan.epochs,
             batch_size=cfg.data.batch_size,
             seed=cfg.seed,
+            checkpoint_dir=os.path.join(out_dir, "train_state"),
+            checkpoint_every=max(1, cfg.countergan.epochs // 4),
         )
         ckpt.save(gen_dir, state.g.variables())
         plot_loss_curves(history, os.path.join(out_dir, "gan_losses.png"))

@@ -23,6 +23,8 @@ def train_countergan_loop(
     log_every: int = 1,
     history: dict | None = None,
     mesh=None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
 ):
     """Runs `epochs` compiled epochs; returns (final state, history).
 
@@ -34,8 +36,29 @@ def train_countergan_loop(
     out along the mesh's first axis, parameters/optimizer state are
     replicated, and the same compiled epoch runs with XLA-inserted gradient
     reductions over ICI (capability uplift over the single-device reference,
-    SURVEY.md section 2.9)."""
+    SURVEY.md section 2.9).
+
+    Mid-run resume (capability uplift — the reference checkpoints only at
+    stage boundaries, `house trainer.py:121-130`): with `checkpoint_dir`
+    set and `checkpoint_every > 0`, the FULL train state (params, optimizer
+    states, BN/spectral stats, PRNG position via the epoch index) is saved
+    every K epochs; an interrupted run restarted with the same arguments
+    resumes from the last checkpoint and — because per-epoch keys are
+    derived statelessly as fold_in(key, 2*epoch) — produces a continuation
+    bit-identical to the uninterrupted run."""
+    from cfgan.core import checkpoint as ckpt
+
     state = bundle.state
+    start_epoch = 0
+    history = history if history is not None else {}
+    if checkpoint_dir and ckpt.exists(checkpoint_dir):
+        state, start_epoch, saved_hist = ckpt.restore_train_state(
+            checkpoint_dir, bundle.state
+        )
+        for k, vs in saved_hist.items():
+            history.setdefault(k, vs)
+        log(f"[CounteRGAN] resuming from {checkpoint_dir} at epoch "
+            f"{start_epoch + 1}/{epochs}")
     if mesh is not None:
         from cfgan.parallel.sharding import replicate, shard_batch
 
@@ -47,9 +70,8 @@ def train_countergan_loop(
         y = jnp.asarray(y_train)
     n = len(y_train)
     key = jax.random.key(seed)
-    history = history if history is not None else {}
     t0 = time.perf_counter()
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         k_perm = jax.random.fold_in(key, 2 * epoch)
         k_step = jax.random.fold_in(key, 2 * epoch + 1)
         perm = epoch_perm(k_perm, n, batch_size)
@@ -65,6 +87,10 @@ def train_countergan_loop(
             }
             line = ", ".join(f"{k}={v:.4f}" for k, v in {**d, **extras}.items())
             log(f"[CounteRGAN] epoch {epoch+1}/{epochs} :: {line}")
+        if (checkpoint_dir and checkpoint_every
+                and (epoch + 1) % checkpoint_every == 0):
+            ckpt.save_train_state(checkpoint_dir, state, epoch,
+                                  history=history)
     history["wall_time_s"] = time.perf_counter() - t0
     return state, history
 

@@ -65,3 +65,58 @@ def test_sharded_roundtrip_on_mesh():
         np.testing.assert_array_equal(np.asarray(restored["replicated"]),
                                       np.ones((3,)))
         assert ckpt.load_metadata(d)["k"] == 1
+
+
+def test_midrun_resume_is_bit_identical(moons_data):
+    """Interrupt a CounteRGAN run at epoch 2 of 4 and resume from the
+    mid-run checkpoint: the continuation must be BIT-identical to the
+    uninterrupted run (params, opt state, BN/spectral stats, step counter,
+    and logged history all line up)."""
+    import jax.numpy as jnp
+    from cfgan.core.config import ClassifierConfig, CounterGANConfig
+    from cfgan.models.classifiers import MLPClassifier
+    from cfgan.train.builders import build_moons_countergan
+    from cfgan.train.classifier import train_classifier
+    from cfgan.train.loop import train_countergan_loop
+    import tempfile
+
+    (xtr, ytr), _, _ = moons_data
+    cfg = CounterGANConfig(lambda_cls=2.0, lambda_reg_l1=5.0,
+                           lambda_reg_l2=5.0, lambda_mask=3.0)
+    clf_model = MLPClassifier()
+    clf_state, _ = train_classifier(
+        clf_model, ClassifierConfig(lr=1e-2, steps=50), (xtr, ytr), seed=1
+    )
+
+    def fresh_bundle():
+        return build_moons_countergan(cfg, clf_model, clf_state, seed=9)
+
+    # uninterrupted 4-epoch run
+    ref_state, ref_hist = train_countergan_loop(
+        fresh_bundle(), xtr, ytr, epochs=4, batch_size=64, seed=5,
+        log=lambda s: None,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        # "interrupted" run: 2 epochs, checkpoint written at epoch 2
+        train_countergan_loop(
+            fresh_bundle(), xtr, ytr, epochs=2, batch_size=64, seed=5,
+            log=lambda s: None, checkpoint_dir=d, checkpoint_every=2,
+        )
+        from cfgan.core import checkpoint as ckpt
+
+        assert ckpt.exists(d)
+        # restart with the full target: resumes at epoch 3
+        logs = []
+        res_state, res_hist = train_countergan_loop(
+            fresh_bundle(), xtr, ytr, epochs=4, batch_size=64, seed=5,
+            log=logs.append, checkpoint_dir=d, checkpoint_every=2,
+        )
+        assert any("resuming" in l for l in logs)
+
+    for want, got in zip(jax.tree_util.tree_leaves(ref_state),
+                         jax.tree_util.tree_leaves(res_state)):
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    assert int(res_state.step) == int(ref_state.step)
+    np.testing.assert_array_equal(ref_hist["d_loss"], res_hist["d_loss"])
+    np.testing.assert_array_equal(ref_hist["g_loss"], res_hist["g_loss"])

@@ -1,7 +1,12 @@
 """Multi-host (DCN-style) initialization: two OS processes, each with 4
 virtual CPU devices, form one 8-device global mesh via
-`cfgan.parallel.mesh.multihost_initialize`; a cross-process reduction
-returns the correct global sum on both ranks.
+`cfgan.parallel.mesh.multihost_initialize`, then
+
+1. a cross-process reduction returns the correct global sum on both ranks;
+2. a REAL CounteRGAN train step (moons bundle: residual G, spectral-norm D,
+   frozen classifier, 4-term loss) runs data-parallel over the global mesh,
+   both ranks report identical metrics, and those metrics match a
+   single-process execution of the same step on the same batch.
 
 This is the single-machine stand-in for a TPU pod slice: same
 `jax.distributed.initialize` + global-mesh code path, Gloo instead of DCN.
@@ -23,6 +28,7 @@ jax.config.update("jax_platforms", "cpu")
 from cfgan.parallel.mesh import multihost_initialize
 multihost_initialize(f"localhost:{{port}}", num_processes=2, process_id=pid)
 import numpy as np
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("data",))
 arr = jax.make_array_from_callback(
@@ -31,6 +37,39 @@ arr = jax.make_array_from_callback(
 total = jax.jit(lambda a: a.sum(), out_shardings=NamedSharding(mesh, P()))(arr)
 print("RESULT", pid, jax.local_device_count(), jax.device_count(),
       float(total.addressable_shards[0].data), flush=True)
+
+# ---- a real CounteRGAN step, data-parallel over the 2-process mesh ----
+from cfgan.core.config import ClassifierConfig, CounterGANConfig
+from cfgan.data.moons import load_moons3
+from cfgan.models.classifiers import MLPClassifier
+from cfgan.train.builders import build_moons_countergan
+from cfgan.train.classifier import train_classifier
+(xtr, ytr), _, _ = load_moons3()
+clf_model = MLPClassifier()
+clf_state, _ = train_classifier(
+    clf_model, ClassifierConfig(lr=1e-2, steps=30), (xtr, ytr), seed=1,
+    log=lambda s: None)
+bundle = build_moons_countergan(
+    CounterGANConfig(lambda_cls=2.0, lambda_reg_l1=5.0, lambda_reg_l2=5.0,
+                     lambda_mask=3.0),
+    clf_model, clf_state, seed=7)
+B = 64
+xb, yb = xtr[:B], ytr[:B]
+rep = NamedSharding(mesh, P())
+state = jax.tree_util.tree_map(lambda a: jax.make_array_from_callback(
+    np.asarray(a).shape, rep, lambda idx: np.asarray(a)[idx]), bundle.state)
+bsh = NamedSharding(mesh, P("data"))
+xs = jax.make_array_from_callback((B, 2), bsh, lambda idx: xb[idx])
+ys = jax.make_array_from_callback((B,), NamedSharding(mesh, P("data")),
+                                  lambda idx: yb[idx])
+step = jax.jit(bundle.step_fn)
+new_state, metrics = step(state, xs, ys, jax.random.key(11))
+jax.block_until_ready(metrics)
+d = float(jax.device_get(metrics["d_loss"]))
+g = float(jax.device_get(metrics["g_loss"]))
+leaf = jax.tree_util.tree_leaves(new_state.g.params)[0]
+assert leaf.sharding.is_fully_replicated, "params lost replication"
+print("STEP", pid, f"{{d:.8f}}", f"{{g:.8f}}", flush=True)
 """
 
 
@@ -47,9 +86,9 @@ def test_two_process_global_mesh(tmp_path):
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=240)[0] for p in procs]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
     for p, out in zip(procs, outs):
-        assert p.returncode == 0, out[-800:]
+        assert p.returncode == 0, out[-1500:]
     results = sorted(
         line.split()[1:] for out in outs for line in out.splitlines()
         if line.startswith("RESULT")
@@ -59,3 +98,44 @@ def test_two_process_global_mesh(tmp_path):
         assert int(got_pid) == pid
         assert int(local) == 4 and int(glob) == 8
         assert float(total) == 28.0  # sum(0..7) reduced across processes
+
+    # ---- both ranks executed the CounteRGAN step and agree exactly ----
+    steps = sorted(
+        line.split()[1:] for out in outs for line in out.splitlines()
+        if line.startswith("STEP")
+    )
+    assert len(steps) == 2, outs
+    (_, d0, g0), (_, d1, g1) = steps
+    assert d0 == d1 and g0 == g1  # identical across ranks
+
+    # ...and match a single-process execution of the same step
+    import jax
+    import numpy as np
+
+    from cfgan.core.config import ClassifierConfig, CounterGANConfig
+    from cfgan.data.moons import load_moons3
+    from cfgan.models.classifiers import MLPClassifier
+    from cfgan.train.builders import build_moons_countergan
+    from cfgan.train.classifier import train_classifier
+
+    (xtr, ytr), _, _ = load_moons3()
+    clf_model = MLPClassifier()
+    clf_state, _ = train_classifier(
+        clf_model, ClassifierConfig(lr=1e-2, steps=30), (xtr, ytr), seed=1,
+        log=lambda s: None,
+    )
+    bundle = build_moons_countergan(
+        CounterGANConfig(lambda_cls=2.0, lambda_reg_l1=5.0,
+                         lambda_reg_l2=5.0, lambda_mask=3.0),
+        clf_model, clf_state, seed=7,
+    )
+    import jax.numpy as jnp
+
+    _, metrics = jax.jit(bundle.step_fn)(
+        bundle.state, jnp.asarray(xtr[:64]), jnp.asarray(ytr[:64]),
+        jax.random.key(11),
+    )
+    # 8-way sharded reductions reassociate f32 sums; observed deltas are
+    # ~2e-4 on a ~15 loss (1e-5 relative)
+    np.testing.assert_allclose(float(metrics["d_loss"]), float(d0), atol=1e-4)
+    np.testing.assert_allclose(float(metrics["g_loss"]), float(g0), atol=1e-3)
