@@ -36,7 +36,7 @@ from cfgan.eval.metrics import (
 )
 from cfgan.experiments.presets import MNIST_COUNTERGAN
 from cfgan.masks.patch import random_patch_mask
-from cfgan.models.classifiers import CNNClassifier
+from cfgan.models.classifiers import CNNClassifier, LegacyCNNClassifier
 from cfgan.train.builders import build_mnist_countergan
 from cfgan.train.classifier import (
     make_eval_fn,
@@ -56,8 +56,10 @@ def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
         valid_fraction=cfg.data.valid_fraction, limit=limit,
     )
 
-    # ---- stage 1: classifier (mnist/main.py:22-33) ----
-    clf_model = CNNClassifier(num_classes=cfg.num_classes)
+    # ---- stage 1: classifier (mnist/main.py:22-33); the legacy stack uses
+    # the faithful MaxPool classifier (`mnist/modules/classifier.py:4-30`) ----
+    clf_cls = LegacyCNNClassifier if legacy_delta else CNNClassifier
+    clf_model = clf_cls(num_classes=cfg.num_classes)
     clf_dir = os.path.join(out_dir, "classifier")
     if ckpt.exists(clf_dir) and not fresh:
         template = clf_model.init(jax.random.key(0), jnp.asarray(xtr[:2]))
@@ -198,7 +200,8 @@ def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
     )
 
     return {"classifier": clf_eval, "batch_metrics": batch_m,
-            "per_target": df, "state": state, "history": history}
+            "per_target": df, "state": state, "history": history,
+            "cf_fn": bundle.cf_fn}
 
 
 def main():

@@ -190,6 +190,36 @@ MNIST_COUNTERGAN_LEGACY = ExperimentConfig(
 )
 PRESETS[MNIST_COUNTERGAN_LEGACY.name] = MNIST_COUNTERGAN_LEGACY
 
+# countergan2.py self-contained CLI variant (`mnist/countergan2.py:16-30,
+# 186-205`): REQUIRED --target from the command line, 50 epochs, Adam 1e-3
+# for both nets, clipped-log sigmoid-D losses, lambda_cls 3 / lambda_reg
+# 0.05 / no mask term, legacy MaxPool classifier.  fixed_target is filled in
+# by the CLI (cfgan.experiments.mnist_countergan2).
+MNIST_COUNTERGAN2 = ExperimentConfig(
+    name="mnist_countergan2",
+    seed=42,
+    num_classes=10,
+    data=DataConfig(name="mnist", batch_size=128, valid_fraction=0.1),
+    classifier=ClassifierConfig(arch="cnn_legacy", lr=1e-3, epochs=10,
+                                batch_size=128),
+    countergan=CounterGANConfig(
+        epochs=50,
+        lr_g=1e-3,
+        lr_d=1e-3,
+        lambda_adv=1.0,
+        lambda_cls=3.0,
+        lambda_reg_l1=0.05,
+        lambda_mask=0.0,
+        adv_loss="clipped_log",
+        reg_reduction="mean_abs",
+        clamp_cf=(-1.0, 1.0),
+        fixed_target=None,  # REQUIRED from the CLI, countergan2.py:17
+        resample_target=False,
+        hidden_dim=64,
+    ),
+)
+PRESETS[MNIST_COUNTERGAN2.name] = MNIST_COUNTERGAN2
+
 # improved recipe: identical to HOUSE_COUNTERGAN but the training loss sees
 # the clamped counterfactual (train/eval consistency), which reaches the
 # reference's flip rates with counterfactuals that stay in legal data space

@@ -1,4 +1,5 @@
-from cfgan.models.classifiers import CNNClassifier, MLPClassifier, TabularClassifier
+from cfgan.models.classifiers import (CNNClassifier, LegacyCNNClassifier,
+                                      MLPClassifier, TabularClassifier)
 from cfgan.models.discriminators import (
     CondConvDiscriminator,
     ConditionalMLPDiscriminator,
@@ -20,6 +21,7 @@ from cfgan.models.generators import (
 
 __all__ = [
     "CNNClassifier",
+    "LegacyCNNClassifier",
     "MLPClassifier",
     "TabularClassifier",
     "CondConvDiscriminator",

@@ -10,7 +10,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from cfgan.nn.layers import BatchNorm, Conv, Linear, leaky_relu
+from cfgan.nn.layers import BatchNorm, Conv, Linear, leaky_relu, max_pool2d
 
 
 class MLPClassifier(nn.Module):
@@ -62,4 +62,22 @@ class CNNClassifier(nn.Module):
         h = h.reshape(h.shape[0], -1)
         h = jax.nn.relu(Linear(256)(h))
         h = nn.Dropout(0.5, deterministic=not train)(h)
+        return Linear(self.num_classes)(h)
+
+
+class LegacyCNNClassifier(nn.Module):
+    """Legacy MaxPool CNN (`mnist/modules/classifier.py:4-30`, also
+    `countergan2.py:97-110`): Conv(1->32,p1)+ReLU+MaxPool2 ->
+    Conv(32->64,p1)+ReLU+MaxPool2 -> FC 64*7*7 -> 128 -> 10.  No dropout;
+    `train` is accepted for interface parity with CNNClassifier.  Flatten is
+    NHWC order (torch mirrors in tests permute before flattening)."""
+
+    num_classes: int = 10
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = max_pool2d(jax.nn.relu(Conv(32, 3, 1, 1)(x)))
+        h = max_pool2d(jax.nn.relu(Conv(64, 3, 1, 1)(h)))
+        h = h.reshape(h.shape[0], -1)
+        h = jax.nn.relu(Linear(128)(h))
         return Linear(self.num_classes)(h)

@@ -165,6 +165,22 @@ class BatchNorm(nn.Module):
         return y
 
 
+def max_pool2d(x, window: int = 2, stride: int | None = None):
+    """torch nn.MaxPool2d semantics on NHWC: kernel `window`, stride
+    defaulting to the kernel, no padding, floor output size (trailing rows/
+    cols that don't fill a window are dropped).  Needed by the legacy MNIST
+    classifier (`mnist/modules/classifier.py:10-13`)."""
+    stride = stride or window
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+
+
 class InstanceNorm(nn.Module):
     """InstanceNorm2d(affine=True) equivalent: per-sample per-channel stats
     over spatial dims (torch track_running_stats=False default)."""

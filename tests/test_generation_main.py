@@ -37,3 +37,24 @@ def test_image_grid_layout():
     # 2 rows x 3 cols of 4x4 cells with 1px padding
     assert grid.shape == (2 * 5 + 1, 3 * 5 + 1)
     assert grid[1, 1] == 255 and grid[1, 6] == 0
+
+
+def test_countergan2_cli_requires_target():
+    """countergan2.py:17 makes --target required; the rebuilt CLI must too."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "cfgan.experiments.mnist_countergan2"],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 2
+    assert "--target" in proc.stderr
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "cfgan.experiments.mnist_countergan2",
+         "--target", "12"],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 2
+    assert "0..9" in proc.stderr

@@ -161,3 +161,74 @@ def test_torch_default_init_statistics():
     assert abs(k.max() - bound) < 0.01 * bound * 10
     assert k.min() > -bound - 1e-6 and k.max() < bound + 1e-6
     assert abs(k.std() - bound / np.sqrt(3)) < 0.05 * bound
+
+
+def test_max_pool2d_matches_torch():
+    """torch nn.MaxPool2d(2) semantics incl. odd sizes (floor mode drops the
+    trailing row/col)."""
+    from cfgan.nn.layers import max_pool2d
+
+    rng = np.random.RandomState(0)
+    for hw in (28, 7, 9):  # even, odd, odd
+        x = rng.randn(3, hw, hw, 5).astype(np.float32)
+        ours = np.asarray(max_pool2d(jnp.asarray(x)))
+        theirs = (
+            torch.nn.MaxPool2d(2)(torch.tensor(x).permute(0, 3, 1, 2))
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_array_equal(ours, theirs)
+    # explicit stride != window
+    x = rng.randn(2, 8, 8, 1).astype(np.float32)
+    ours = np.asarray(max_pool2d(jnp.asarray(x), window=3, stride=2))
+    theirs = (
+        torch.nn.MaxPool2d(3, stride=2)(torch.tensor(x).permute(0, 3, 1, 2))
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_legacy_cnn_classifier_matches_torch():
+    """Weight-for-weight logits parity of the legacy MaxPool classifier
+    (`mnist/modules/classifier.py:4-30`)."""
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    from cfgan.models.classifiers import LegacyCNNClassifier
+
+    model = LegacyCNNClassifier()
+    x = np.random.RandomState(0).uniform(-1, 1, (4, 28, 28, 1)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(x))
+    ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+
+    class TorchLegacy(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = tnn.Conv2d(1, 32, 3, padding=1)
+            self.c2 = tnn.Conv2d(32, 64, 3, padding=1)
+            self.f1 = tnn.Linear(64 * 7 * 7, 128)
+            self.f2 = tnn.Linear(128, 10)
+
+        def forward(self, x):
+            h = F.max_pool2d(F.relu(self.c1(x)), 2)
+            h = F.max_pool2d(F.relu(self.c2(h)), 2)
+            h = h.permute(0, 2, 3, 1).reshape(h.shape[0], -1)  # NHWC flatten
+            return self.f2(F.relu(self.f1(h)))
+
+    t = TorchLegacy()
+    p = variables["params"]
+
+    def cp_conv(tc, pp):
+        tc.weight.data = torch.tensor(
+            np.asarray(pp["kernel"]).transpose(3, 2, 0, 1).copy())
+        tc.bias.data = torch.tensor(np.asarray(pp["bias"]))
+
+    cp_conv(t.c1, p["Conv_0"]["Conv_0"])
+    cp_conv(t.c2, p["Conv_1"]["Conv_0"])
+    t.f1.weight.data = torch.tensor(np.asarray(p["Linear_0"]["kernel"]).T.copy())
+    t.f1.bias.data = torch.tensor(np.asarray(p["Linear_0"]["bias"]))
+    t.f2.weight.data = torch.tensor(np.asarray(p["Linear_1"]["kernel"]).T.copy())
+    t.f2.bias.data = torch.tensor(np.asarray(p["Linear_1"]["bias"]))
+    theirs = t(torch.tensor(x).permute(0, 3, 1, 2)).detach().numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
