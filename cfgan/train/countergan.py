@@ -200,6 +200,13 @@ def make_epoch_runner(step_fn, donate: bool = True, reduce: bool = True):
     index.  Zero host round-trips per step — this is where the >=10x over the
     per-batch-dispatch PyTorch loop comes from.
 
+    Feed-layout note (measured, round 2): materializing the whole epoch with
+    ONE fused gather and scanning over contiguous `(steps, batch, ...)`
+    slices was benchmarked against this per-step gather on the TPU and came
+    out at parity (3.9 ms/step both ways at batch 128 — the same bytes move
+    through HBM either way), while costing an extra O(dataset) HBM copy per
+    epoch.  The per-step gather is kept: equal speed, strictly lower memory.
+
     `reduce=False` returns the per-step metric traces (shape `(steps,)`)
     instead of their epoch means — used by the epoch-scale parity harness to
     compare every step of the scanned production path against the PyTorch
