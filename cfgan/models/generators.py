@@ -73,6 +73,7 @@ class TabularResidualGenerator(nn.Module):
         temperature: float | None = None,
         hard: bool = False,
         train: bool = True,
+        gumbel_noise=None,  # idx -> (B, n) noise; overrides the rng draw
     ):
         if mask is None:
             mask = jnp.ones_like(x)
@@ -92,8 +93,15 @@ class TabularResidualGenerator(nn.Module):
             n = len(self.categorical_info[idx])
             logits = Linear(n, name=f"fc_cat_{idx}")(h)
             cat_logits[idx] = logits
-            key = self.make_rng("gumbel")
-            cat_samples[idx] = gumbel_softmax(key, logits, tau=tau, hard=hard)
+            if gumbel_noise is not None:
+                cat_samples[idx] = gumbel_softmax(
+                    None, logits, tau=tau, hard=hard,
+                    noise=gumbel_noise[idx],
+                )
+            else:
+                key = self.make_rng("gumbel")
+                cat_samples[idx] = gumbel_softmax(key, logits, tau=tau,
+                                                  hard=hard)
         return cont_residual, cat_logits, cat_samples
 
 

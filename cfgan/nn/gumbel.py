@@ -10,8 +10,13 @@ import jax
 import jax.numpy as jnp
 
 
-def gumbel_softmax(key, logits, tau: float = 1.0, hard: bool = False, axis: int = -1):
-    g = jax.random.gumbel(key, logits.shape, logits.dtype)
+def gumbel_softmax(key, logits, tau: float = 1.0, hard: bool = False,
+                   axis: int = -1, noise=None):
+    """`noise` (same shape as logits) overrides the internal Gumbel draw —
+    used by the torch-parity harness to feed BOTH frameworks identical
+    samples; `key` may be None in that case."""
+    g = jax.random.gumbel(key, logits.shape, logits.dtype) if noise is None \
+        else noise
     y = jax.nn.softmax((logits + g) / tau, axis=axis)
     if hard:
         idx = jnp.argmax(y, axis=axis)
