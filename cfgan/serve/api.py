@@ -1,0 +1,203 @@
+"""HTTP JSON API for counterfactual serving (stdlib-only).
+
+The reference's only serving surface is Gradio web UIs
+(`mnist/gr.py:277`, `house_sales_kc_usa/gradio_app.py:259`,
+`moons/gradio_app.py:162`) — there is no programmatic endpoint.  For
+production deployment this module exposes the fused
+`CounterfactualEngine` (`cfgan.serve.engine`, one XLA call per request)
+over a threaded HTTP server with JSON in/out and zero dependencies
+beyond the standard library.
+
+Endpoints:
+
+* ``GET  /health``          -> ``{"status": "ok", "num_classes": C, ...}``
+* ``POST /classify``        body ``{"x": [...] | [[...]]}``
+                            -> ``{"probs": [[...]], "pred": [...]}``
+* ``POST /counterfactual``  body ``{"x": ..., "target": int | [...]}`` plus
+  an optional mask given ONE of three ways (mirroring the promptable UIs):
+  ``"mask"`` (dense 0/1 array), ``"patches"`` (image engines: modifiable
+  patch indices, `mnist/gr.py:73-76`), or ``"features"`` (tabular engines:
+  allowed feature names, `house gradio_app.py:150-156`); optional ``"seed"``.
+  -> the full `CFResult` as JSON lists.
+
+Batched and single-sample inputs both work (a single sample comes back as a
+batch of one, matching `CounterfactualEngine.generate`).  The server binds
+loopback by default; exposing it on all interfaces is an explicit opt-in
+(same policy as `cfgan.serve.launch`).
+"""
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from cfgan.serve.engine import CounterfactualEngine
+
+
+class ApiError(ValueError):
+    """Client error carried to a 400 response."""
+
+
+def _as_array(obj, name: str) -> np.ndarray:
+    if obj is None:
+        raise ApiError(f"missing required field {name!r}")
+    try:
+        arr = np.asarray(obj, dtype=np.float32)
+    except (TypeError, ValueError) as e:
+        raise ApiError(f"field {name!r} is not numeric: {e}") from e
+    if arr.size == 0:
+        raise ApiError(f"field {name!r} is empty")
+    return arr
+
+
+def _resolve_mask(engine: CounterfactualEngine, body: dict, batch: int,
+                  x_shape) -> np.ndarray | None:
+    given = [k for k in ("mask", "patches", "features") if body.get(k) is not None]
+    if len(given) > 1:
+        raise ApiError(f"give at most one of mask/patches/features, got {given}")
+    if not given:
+        return None
+    kind = given[0]
+    if kind == "mask":
+        mask = _as_array(body["mask"], "mask")
+        want = tuple(x_shape[1:])
+        if mask.shape not in (want, (batch,) + want):
+            raise ApiError(
+                f"mask shape {mask.shape} does not match sample shape {want}"
+            )
+        return mask
+    if kind == "patches":
+        if engine.patch_size is None:
+            raise ApiError("'patches' requires an image engine")
+        patches = body["patches"]
+        if (not isinstance(patches, list) or not patches
+                or not all(isinstance(p, int) and not isinstance(p, bool)
+                           for p in patches)):
+            raise ApiError("'patches' must be a non-empty list of ints")
+        hw = tuple(x_shape[1:3])
+        n = (hw[0] // engine.patch_size) * (hw[1] // engine.patch_size)
+        if any(p < 0 or p >= n for p in patches):
+            raise ApiError(f"patch indices must be in [0, {n})")
+        return np.asarray(
+            engine.mask_from_patches(patches, batch, hw, x_shape[3])
+        )
+    # features
+    if engine.schema is None:
+        raise ApiError("'features' requires a tabular engine")
+    feats = body["features"]
+    if not isinstance(feats, list) or not feats:
+        raise ApiError("'features' must be a non-empty list of names")
+    unknown = [f for f in feats if f not in engine.schema.feature_names]
+    if unknown:
+        raise ApiError(f"unknown feature names: {unknown}")
+    return np.asarray(engine.mask_from_feature_names(feats, batch))
+
+
+def _handle_classify(engine: CounterfactualEngine, body: dict) -> dict:
+    x = _as_array(body.get("x"), "x")
+    probs = engine.classify(x)
+    return {"probs": probs.tolist(),
+            "pred": np.argmax(probs, axis=1).tolist()}
+
+
+def _handle_counterfactual(engine: CounterfactualEngine, body: dict) -> dict:
+    import jax
+
+    x = _as_array(body.get("x"), "x")
+    target = body.get("target")
+    if target is None:
+        raise ApiError("missing required field 'target'")
+    t = np.asarray(target)
+    if t.dtype.kind not in "iu" or np.any(t < 0) or np.any(
+            t >= engine.num_classes):
+        raise ApiError(
+            f"'target' must be int(s) in [0, {engine.num_classes})"
+        )
+    # normalize to a batch before mask resolution so dense masks, patch
+    # masks and feature masks all see the batched shape
+    batched_x = x if x.ndim != engine._sample_ndim(x) else x[None]
+    if t.ndim > 1 or (t.ndim == 1 and t.shape[0] != batched_x.shape[0]):
+        raise ApiError(
+            f"'target' must be a scalar or length-{batched_x.shape[0]} list"
+        )
+    mask = _resolve_mask(engine, body, batched_x.shape[0], batched_x.shape)
+    seed = body.get("seed", 0)
+    if not isinstance(seed, int) or isinstance(seed, bool):
+        raise ApiError("'seed' must be an int")
+    res = engine.generate(batched_x, t, mask=mask, key=jax.random.key(seed))
+    return {
+        "x_cf": res.x_cf.tolist(),
+        "residual": res.residual.tolist(),
+        "pred": res.pred.tolist(),
+        "confidence": res.confidence.tolist(),
+        "probs": res.probs.tolist(),
+        "probs_orig": res.probs_orig.tolist(),
+        "flipped": res.flipped.tolist(),
+    }
+
+
+class CFRequestHandler(BaseHTTPRequestHandler):
+    """Routes requests to the engine attached to the server."""
+
+    # quiet by default; the server object can flip this on
+    def log_message(self, fmt, *args):  # noqa: D102
+        if getattr(self.server, "verbose", False):
+            super().log_message(fmt, *args)
+
+    def _send(self, code: int, payload: dict):
+        data = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):  # noqa: N802
+        if self.path != "/health":
+            return self._send(404, {"error": f"unknown path {self.path}"})
+        eng = self.server.engine
+        kind = ("tabular" if eng.schema is not None
+                else "image" if eng.patch_size is not None else "generic")
+        self._send(200, {
+            "status": "ok",
+            "num_classes": eng.num_classes,
+            "kind": kind,
+        })
+
+    def do_POST(self):  # noqa: N802
+        routes = {"/classify": _handle_classify,
+                  "/counterfactual": _handle_counterfactual}
+        handler = routes.get(self.path)
+        if handler is None:
+            return self._send(404, {"error": f"unknown path {self.path}"})
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(body, dict):
+                raise ApiError("request body must be a JSON object")
+            self._send(200, handler(self.server.engine, body))
+        except (ApiError, json.JSONDecodeError) as e:
+            self._send(400, {"error": str(e)})
+        except Exception as e:  # pragma: no cover - defensive
+            self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(engine: CounterfactualEngine, host: str = "127.0.0.1",
+                port: int = 8000, verbose: bool = False) -> ThreadingHTTPServer:
+    """Build (but do not start) the API server; port 0 picks a free port.
+    Call `.serve_forever()` (blocking) or run it in a thread."""
+    server = ThreadingHTTPServer((host, port), CFRequestHandler)
+    server.engine = engine
+    server.verbose = verbose
+    return server
+
+
+def serve(engine: CounterfactualEngine, host: str = "127.0.0.1",
+          port: int = 8000) -> None:
+    server = make_server(engine, host, port, verbose=True)
+    print(f"cfgan API listening on http://{host}:{server.server_address[1]}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:  # pragma: no cover - interactive
+        server.shutdown()

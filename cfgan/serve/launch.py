@@ -3,6 +3,7 @@
     python -m cfgan.serve.launch --app mnist  [--results results/mnist_countergan]
     python -m cfgan.serve.launch --app house  [--results results/house_countergan]
     python -m cfgan.serve.launch --app moons  [--results results/moons_countergan]
+    python -m cfgan.serve.launch --app house --api [--port 8000]   # HTTP JSON API
 
 Equivalent to running the reference's `gr.py` / `gradio_app.py` after
 training (`mnist/gr.py:254-277`, `house gradio_app.py:219-259`,
@@ -27,12 +28,11 @@ def _load_net(path, template_vars, lr=1e-3):
     return NetState.create(restored, adam_like_torch(lr))
 
 
-def launch_mnist(results_dir: str, share: bool = False,
-                 host: str = "127.0.0.1"):
+def setup_mnist(results_dir: str):
+    """Engine + test split from a trained checkpoint tree."""
     from cfgan.data.mnist import load_mnist
     from cfgan.experiments.presets import MNIST_COUNTERGAN as cfg
     from cfgan.models.classifiers import CNNClassifier
-    from cfgan.serve.apps import build_mnist_app
     from cfgan.train.builders import build_mnist_countergan
 
     _, _, (xte, yte) = load_mnist(valid_fraction=cfg.data.valid_fraction)
@@ -47,16 +47,22 @@ def launch_mnist(results_dir: str, share: bool = False,
         bundle, clf_model, clf_state,
         patch_size=cfg.countergan.mask.patch_size,
     )
-    app = build_mnist_app(engine, xte, yte, cfg.countergan.mask.patch_size)
+    return engine, xte, yte, cfg.countergan.mask.patch_size
+
+
+def launch_mnist(results_dir: str, share: bool = False,
+                 host: str = "127.0.0.1"):
+    from cfgan.serve.apps import build_mnist_app
+
+    engine, xte, yte, patch_size = setup_mnist(results_dir)
+    app = build_mnist_app(engine, xte, yte, patch_size)
     app.launch(server_name=host, share=share)
 
 
-def launch_house(results_dir: str, share: bool = False,
-                 host: str = "127.0.0.1"):
+def setup_house(results_dir: str):
     from cfgan.data.kc_house import load_kc_house
     from cfgan.experiments.presets import HOUSE_COUNTERGAN as cfg
     from cfgan.models.classifiers import TabularClassifier
-    from cfgan.serve.apps import build_house_app
     from cfgan.train.builders import build_tabular_countergan
 
     (xtr, ytr), (xte, yte), stats, bins, schema = load_kc_house()
@@ -74,16 +80,22 @@ def launch_house(results_dir: str, share: bool = False,
     engine = CounterfactualEngine.from_bundle(
         bundle, clf_model, clf_state, schema=schema, stats=stats,
     )
+    return engine, xte, yte, schema, stats, bins
+
+
+def launch_house(results_dir: str, share: bool = False,
+                 host: str = "127.0.0.1"):
+    from cfgan.serve.apps import build_house_app
+
+    engine, xte, yte, schema, stats, bins = setup_house(results_dir)
     app = build_house_app(engine, xte, yte, schema, stats, bins)
     app.launch(server_name=host, share=share)
 
 
-def launch_moons(results_dir: str, share: bool = False,
-                 host: str = "127.0.0.1"):
+def setup_moons(results_dir: str):
     from cfgan.data.moons import load_moons3
     from cfgan.experiments.presets import MOONS_COUNTERGAN as cfg
     from cfgan.models.classifiers import MLPClassifier
-    from cfgan.serve.apps import build_moons_app
     from cfgan.train.builders import build_moons_countergan
 
     (xtr, ytr), (xte, yte), stats = load_moons3()
@@ -101,6 +113,14 @@ def launch_moons(results_dir: str, share: bool = False,
     def clf_fn(x):
         return clf_model.apply(clf_vars, x, train=False)
 
+    return engine, clf_fn, xte, yte
+
+
+def launch_moons(results_dir: str, share: bool = False,
+                 host: str = "127.0.0.1"):
+    from cfgan.serve.apps import build_moons_app
+
+    engine, clf_fn, xte, yte = setup_moons(results_dir)
     app = build_moons_app(engine, clf_fn, xte, yte)
     app.launch(server_name=host, share=share)
 
@@ -116,11 +136,25 @@ def main():
         "and may call configured LLM providers, so exposing them on all "
         "interfaces is an explicit opt-in: --host 0.0.0.0)",
     )
+    ap.add_argument(
+        "--api", action="store_true",
+        help="serve the HTTP JSON API (cfgan.serve.api, no gradio needed) "
+        "instead of the gradio app",
+    )
+    ap.add_argument("--port", type=int, default=8000,
+                    help="API port (only with --api)")
     args = ap.parse_args()
     default = {"mnist": "results/mnist_countergan",
                "house": "results/house_countergan",
                "moons": "results/moons_countergan"}[args.app]
     results = args.results or default
+    if args.api:
+        from cfgan.serve.api import serve as api_serve
+
+        engine = {"mnist": setup_mnist, "house": setup_house,
+                  "moons": setup_moons}[args.app](results)[0]
+        api_serve(engine, args.host, args.port)
+        return
     {"mnist": launch_mnist, "house": launch_house,
      "moons": launch_moons}[args.app](results, args.share, args.host)
 
