@@ -127,6 +127,85 @@ def test_client_errors_are_400(api, body, frag):
     assert frag in resp["error"]
 
 
+@pytest.fixture(scope="module")
+def image_api():
+    """Stub image engine (patch_size 7, 14x14) behind a real server —
+    pins the 'patches' mask form over HTTP."""
+    import jax
+    import jax.numpy as jnp
+
+    H = W = 14
+
+    def cf_fn(g_vars, x, target, mask, key=None):
+        raw = 0.2 * jnp.ones_like(x)
+        return jnp.clip(x + raw * mask, -1, 1), raw, raw * mask
+
+    wm = jax.random.normal(jax.random.key(0), (H * W, 4))
+
+    def clf_fn(x):
+        return x.reshape(x.shape[0], -1) @ wm
+
+    engine = CounterfactualEngine(cf_fn, clf_fn, {}, num_classes=4,
+                                  patch_size=7)
+    server = make_server(engine, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{server.server_address[1]}", H, W
+    server.shutdown()
+
+
+def test_patches_mask_over_http(image_api):
+    base, H, W = image_api
+    x = np.zeros((1, H, W, 1), np.float32).tolist()
+    status, body = _post(base, "/counterfactual",
+                         {"x": x, "target": 1, "patches": [0]})
+    assert status == 200
+    delta = np.asarray(body["x_cf"])[0, :, :, 0]
+    assert np.all(delta[:7, :7] != 0)        # inside patch 0
+    assert np.all(delta[7:, :] == 0) and np.all(delta[:, 7:] == 0)
+    # health reports an image engine
+    assert _get(base, "/health")[1]["kind"] == "image"
+
+
+def test_features_mask_over_http():
+    import jax.numpy as jnp
+
+    from cfgan.core.config import TabularSchema
+
+    schema = TabularSchema(feature_names=("a", "b", "c", "d"),
+                           immutable_features=("d",))
+
+    def cf_fn(g_vars, x, target, mask, key=None):
+        raw = 0.1 * jnp.ones_like(x)
+        return x + raw * mask, raw, raw * mask
+
+    def clf_fn(x):
+        return jnp.stack([x[:, 0], x[:, 1], x[:, 2]], axis=1)
+
+    engine = CounterfactualEngine(cf_fn, clf_fn, {}, num_classes=3,
+                                  schema=schema)
+    server = make_server(engine, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        x = [[0.5, 0.5, 0.5, 0.5]]
+        status, body = _post(base, "/counterfactual",
+                             {"x": x, "target": 0, "features": ["a", "c"]})
+        assert status == 200
+        delta = np.asarray(body["x_cf"])[0] - 0.5
+        np.testing.assert_allclose(delta, [0.1, 0.0, 0.1, 0.0], atol=1e-7)
+        # no mask at all -> default = complement of schema immutables
+        status, body = _post(base, "/counterfactual", {"x": x, "target": 0})
+        delta = np.asarray(body["x_cf"])[0] - 0.5
+        np.testing.assert_allclose(delta, [0.1, 0.1, 0.1, 0.0], atol=1e-7)
+        # unknown feature name -> 400
+        status, body = _post(base, "/counterfactual",
+                             {"x": x, "target": 0, "features": ["zz"]})
+        assert status == 400 and "unknown feature names" in body["error"]
+        assert _get(base, "/health")[1]["kind"] == "tabular"
+    finally:
+        server.shutdown()
+
+
 def test_unknown_path_404_and_bad_json_400(api):
     _, base, _ = api
     status, _ = _post(base, "/nope", {})
