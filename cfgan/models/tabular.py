@@ -12,10 +12,33 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from cfgan.data.transforms import NormStats
+
+
+def derive_gumbel_noise(
+    key, batch: int, categorical_info: Mapping[int, Sequence[float]],
+    dtype=jnp.float32,
+) -> dict[int, jnp.ndarray]:
+    """Deterministic per-head Gumbel noise: feature idx -> (B, n_values).
+
+    Each categorical head's noise is `gumbel(fold_in(key, idx))` — i.i.d.
+    Gumbel exactly like drawing through flax's 'gumbel' rng collection, but
+    with a derivation transparent enough that the torch parity oracle
+    (`cfgan/testing/oracles.py`) can reproduce the SAME noise from the same
+    step key, which is what makes epoch-scale tabular loss parity testable
+    (the Gumbel draw is the one per-step nondeterminism the two frameworks
+    cannot otherwise share; see `tests/test_step_parity_tabular.py`).
+    """
+    return {
+        idx: jax.random.gumbel(
+            jax.random.fold_in(key, idx), (batch, len(vals)), dtype
+        )
+        for idx, vals in sorted(categorical_info.items())
+    }
 
 
 def build_cat_norm_values(

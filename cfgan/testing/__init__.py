@@ -7,5 +7,6 @@ imports this package.
 from cfgan.testing.oracles import (  # noqa: F401
     MnistCounterganOracle,
     MoonsCounterganOracle,
+    TabularCounterganOracle,
     run_parity_trace,
 )

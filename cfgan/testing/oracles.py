@@ -233,7 +233,7 @@ class MoonsCounterganOracle:
         self.opt_d = torch.optim.Adam(self.td.parameters(), lr=cfg.lr_d)
         self.opt_g = torch.optim.Adam(self.tg.parameters(), lr=cfg.lr_g)
 
-    def step(self, x, y, t, mask):
+    def step(self, x, y, t, mask, k_g=None):
         cfg = self.cfg
         b = x.shape[0]
         xt, mt = _t(x), _t(mask)
@@ -352,7 +352,7 @@ class MnistCounterganOracle:
         self.opt_g = torch.optim.Adam(self.tg.parameters(), lr=cfg.lr_g)
         self.bce = tnn.BCEWithLogitsLoss()
 
-    def step(self, x, y, t, mask):
+    def step(self, x, y, t, mask, k_g=None):
         cfg = self.cfg
         b = x.shape[0]
         xt = _t(x).permute(0, 3, 1, 2).contiguous()
@@ -412,6 +412,248 @@ class MnistCounterganOracle:
             out = torch.clamp(xt + masked, -1, 1).permute(0, 2, 3, 1).numpy()
         self.tg.train()
         return out
+
+
+# ============================================================== house family
+class TorchFiLMBlock(tnn.Module):
+    """Linear-BN-FiLM-ReLU-Linear-BN-FiLM + skip with ONE shared FiLM
+    (`house models/generator.py:19-35`)."""
+
+    def __init__(self, hidden: int, cond_dim: int):
+        super().__init__()
+        self.fc1 = tnn.Linear(hidden, hidden)
+        self.bn1 = tnn.BatchNorm1d(hidden)
+        self.fc2 = tnn.Linear(hidden, hidden)
+        self.bn2 = tnn.BatchNorm1d(hidden)
+        self.gamma = tnn.Linear(cond_dim, hidden)
+        self.beta = tnn.Linear(cond_dim, hidden)
+
+    def film(self, h, cond):
+        return self.gamma(cond) * h + self.beta(cond)
+
+    def forward(self, h, cond):
+        out = F.relu(self.film(self.bn1(self.fc1(h)), cond))
+        out = self.film(self.bn2(self.fc2(out)), cond)
+        return h + out
+
+
+class TorchTabularG(tnn.Module):
+    """Mirror of TabularResidualGenerator (`house models/generator.py:38-91`):
+    FiLM residual blocks, 0.1-scaled continuous head, per-categorical-feature
+    logits heads sampled with EXPLICIT-noise Gumbel-Softmax (soft or hard/
+    straight-through forward value)."""
+
+    def __init__(self, input_dim: int, hidden: int, num_classes: int,
+                 n_blocks: int, cont_idx, cat_info,
+                 residual_scaling: float = 0.1):
+        super().__init__()
+        cond_dim = num_classes + input_dim
+        self.scaling = residual_scaling
+        self.fc_in = tnn.Linear(input_dim + cond_dim, hidden)
+        self.blocks = tnn.ModuleList(
+            [TorchFiLMBlock(hidden, cond_dim) for _ in range(n_blocks)]
+        )
+        self.fc_cont = tnn.Linear(hidden, len(cont_idx))
+        self.fc_cat = tnn.ModuleDict(
+            {str(i): tnn.Linear(hidden, len(v)) for i, v in cat_info.items()}
+        )
+
+    def forward(self, x, t_oh, mask, noise, tau, hard: bool = False):
+        cond = torch.cat([t_oh, mask], 1)
+        h = F.relu(self.fc_in(torch.cat([x, cond], 1)))
+        for blk in self.blocks:
+            h = blk(h, cond)
+        cont = self.fc_cont(h) * self.scaling
+        logits, samples = {}, {}
+        for i in sorted(int(k) for k in self.fc_cat):
+            lg = self.fc_cat[str(i)](h)
+            logits[i] = lg
+            # F.gumbel_softmax with EXPLICIT noise
+            y = F.softmax((lg + noise[i]) / tau, dim=-1)
+            if hard:
+                oh = F.one_hot(y.argmax(-1), y.shape[-1]).float()
+                y = oh + y - y.detach()  # straight-through
+            samples[i] = y
+        return cont, logits, samples
+
+
+class TorchTabularClf(tnn.Module):
+    """Mirror of TabularClassifier (`house models/nn_classifier.py:4-32`):
+    Linear -> LeakyReLU(.1) -> BN -> Dropout; eval mode only (dropout off,
+    BN running stats) — the classifier is frozen during GAN training."""
+
+    def __init__(self, input_dim: int, num_classes: int):
+        super().__init__()
+        widths = [(input_dim, 256), (256, 256), (256, 128), (128, 64)]
+        self.fcs = tnn.ModuleList([tnn.Linear(i, o) for i, o in widths])
+        self.bns = tnn.ModuleList([tnn.BatchNorm1d(o) for _, o in widths])
+        self.out = tnn.Linear(64, num_classes)
+
+    def forward(self, x):
+        for fc, bn in zip(self.fcs, self.bns):
+            x = bn(F.leaky_relu(fc(x), 0.1))
+        return self.out(x)
+
+
+class TabularCounterganOracle:
+    """Eager replay of `house trainer.py:240-316` (FiLM generator with
+    Gumbel-Softmax heads, residual assembly, spectral-norm D, WGAN-style D
+    loss, 4-term G loss with per-sample L1 norms) with weights copied from
+    a cfgan bundle built with `explicit_gumbel=True`: both sides derive the
+    SAME per-step Gumbel noise from the step key via
+    `derive_gumbel_noise(k_g, ...)` (`cfgan/models/tabular.py`)."""
+
+    def __init__(self, bundle, clf_state, cfg, schema, stats,
+                 num_classes: int = 4):
+        from cfgan.models.tabular import build_cat_norm_values
+
+        self.cfg = cfg
+        self.schema = schema
+        self.num_classes = num_classes
+        self.cat_norm_values = build_cat_norm_values(
+            schema.categorical_info, stats
+        )
+        H = cfg.hidden_dim
+
+        gp = bundle.state.g.params
+        self.tg = TorchTabularG(
+            schema.input_dim, H, num_classes, cfg.num_res_blocks,
+            schema.continuous_idx, schema.categorical_info,
+            residual_scaling=cfg.residual_scaling,
+        )
+        copy_linear(self.tg.fc_in, gp["fc_in"])
+        for i, blk in enumerate(self.tg.blocks):
+            bp = gp[f"block{i}"]
+            copy_linear(blk.fc1, bp["fc1"])
+            copy_linear(blk.fc2, bp["fc2"])
+            copy_linear(blk.gamma, bp["film"]["gamma"])
+            copy_linear(blk.beta, bp["film"]["beta"])
+            for bn_t, name in ((blk.bn1, "bn1"), (blk.bn2, "bn2")):
+                bn_t.weight.data = _t(bp[name]["scale"])
+                bn_t.bias.data = _t(bp[name]["bias"])
+        copy_linear(self.tg.fc_cont, gp["fc_cont"])
+        for i in schema.categorical_info:
+            copy_linear(self.tg.fc_cat[str(i)], gp[f"fc_cat_{i}"])
+
+        dp = bundle.state.d.params
+        du = bundle.state.d.stats["spectral_stats"]
+        self.td = TorchSpectralD(
+            (H, H * 2, H * 4), in_dim=schema.input_dim + num_classes
+        )
+        for i, name in enumerate(["sn0", "sn1", "sn2", "sn_out"]):
+            copy_linear(self.td.fcs[i], dp[name])
+            self.td.us[i] = _t(du[name]["u"])
+
+        cp = clf_state.params
+        cs = clf_state.stats.get("batch_stats", {})
+        self.tc = TorchTabularClf(schema.input_dim, num_classes)
+        for i in range(4):
+            copy_linear(self.tc.fcs[i], cp[f"Linear_{i}"])
+            self.tc.bns[i].weight.data = _t(cp[f"BatchNorm_{i}"]["scale"])
+            self.tc.bns[i].bias.data = _t(cp[f"BatchNorm_{i}"]["bias"])
+            if cs:
+                self.tc.bns[i].running_mean.data = _t(
+                    cs[f"BatchNorm_{i}"]["mean"])
+                self.tc.bns[i].running_var.data = _t(
+                    cs[f"BatchNorm_{i}"]["var"])
+        copy_linear(self.tc.out, cp["Linear_4"])
+        self.tc.eval()
+
+        self.opt_d = torch.optim.Adam(self.td.parameters(), lr=cfg.lr_d)
+        self.opt_g = torch.optim.Adam(self.tg.parameters(), lr=cfg.lr_g)
+
+    def _noise(self, k_g, batch):
+        from cfgan.models.tabular import derive_gumbel_noise
+
+        noise = derive_gumbel_noise(k_g, batch, self.schema.categorical_info)
+        return {i: _t(n) for i, n in noise.items()}
+
+    def _assemble(self, x, cont, samples, mask):
+        residual = torch.zeros_like(x)
+        for i, fidx in enumerate(self.schema.continuous_idx):
+            residual[:, fidx] = cont[:, i]
+        for fidx, onehot in samples.items():
+            nv = torch.tensor(np.asarray(self.cat_norm_values[fidx]),
+                              dtype=torch.float32)
+            residual[:, fidx] = onehot.matmul(nv) - x[:, fidx]
+        return residual, residual * mask
+
+    def step(self, x, y, t, mask, k_g=None):
+        cfg = self.cfg
+        b = x.shape[0]
+        xt, mt = _t(x), _t(mask)
+        yt = torch.tensor(np.asarray(y), dtype=torch.long)
+        tt = torch.tensor(np.asarray(t), dtype=torch.long)
+        oh_y = F.one_hot(yt, self.num_classes).float()
+        oh_t = F.one_hot(tt, self.num_classes).float()
+        noise = self._noise(k_g, b)
+
+        cont, _, samples = self.tg(xt, oh_t, mt, noise, cfg.gumbel_tau)
+        raw, masked = self._assemble(xt, cont, samples, mt)
+        x_cf = xt + masked  # no clamp (`house trainer.py:281-283`)
+
+        scores = self.td(torch.cat([xt, x_cf.detach()], 0),
+                         torch.cat([oh_y, oh_t], 0), update=True)
+        d_loss = -scores[:b].mean() + scores[b:].mean()
+        self.opt_d.zero_grad()
+        d_loss.backward()
+        self.opt_d.step()
+
+        adv = -self.td(x_cf, oh_t, update=False).mean()
+        cls = F.cross_entropy(self.tc(x_cf), tt)
+        l1 = torch.norm(masked, p=1, dim=1).mean()
+        pen = (raw * (1 - mt)).abs().mean()
+        g_loss = (cfg.lambda_adv * adv + cfg.lambda_cls * cls
+                  + cfg.lambda_reg_l1 * l1 + cfg.lambda_mask * pen)
+        self.opt_g.zero_grad()
+        g_loss.backward()
+        self.opt_g.step()
+        return {"d_loss": d_loss.item(), "g_loss": g_loss.item()}
+
+    def param_pairs(self, state):
+        """Function-relevant pairs (BN-cancelled biases excluded — see the
+        moons oracle's note; here that is fc1/fc2 biases inside each FiLM
+        block)."""
+        return [
+            (np.asarray(state.g.params["fc_in"]["kernel"]),
+             self.tg.fc_in.weight.detach().numpy().T),
+            (np.asarray(state.g.params["fc_cont"]["kernel"]),
+             self.tg.fc_cont.weight.detach().numpy().T),
+            (np.asarray(state.g.params["block0"]["film"]["gamma"]["kernel"]),
+             self.tg.blocks[0].gamma.weight.detach().numpy().T),
+            (np.asarray(
+                state.g.params[f"fc_cat_{max(self.schema.categorical_info)}"]
+                ["kernel"]),
+             self.tg.fc_cat[str(max(self.schema.categorical_info))]
+             .weight.detach().numpy().T),
+            (np.asarray(state.d.params["sn0"]["kernel"]),
+             self.td.fcs[0].weight.detach().numpy().T),
+        ]
+
+    def cf_probe(self, bundle, state, x, t, mask, key):
+        """Eval-mode hard-Gumbel counterfactuals from BOTH sides with the
+        same derived noise, clamped to [0,1] (`house eval_utils.py:126-181`).
+        The tabular cf_fn takes the extra (key, hard) args, so the probe
+        owns both calls."""
+        cf_jax = np.asarray(bundle.cf_fn(
+            {"params": state.g.params, **state.g.stats},
+            jnp.asarray(x), jnp.asarray(t), jnp.asarray(mask), key,
+            hard=True,
+        )[0])
+        self.tg.eval()
+        with torch.no_grad():
+            xt, mt = _t(x), _t(mask)
+            oh_t = F.one_hot(
+                torch.tensor(np.asarray(t), dtype=torch.long),
+                self.num_classes,
+            ).float()
+            noise = self._noise(key, x.shape[0])
+            cont, _, samples = self.tg(xt, oh_t, mt, noise,
+                                       self.cfg.gumbel_tau, hard=True)
+            _, masked = self._assemble(xt, cont, samples, mt)
+            cf_torch = torch.clamp(xt + masked, 0.0, 1.0).numpy()
+        self.tg.train()
+        return cf_jax, cf_torch
 
 
 # ============================================================== trace driver
@@ -519,7 +761,7 @@ def run_parity_trace(
                     k_t, jnp.asarray(yb), num_classes, resample_target
                 ))
             mask = np.asarray(mask_fn(k_m, jnp.asarray(xb)))
-            m = oracle.step(xb, yb, t, mask)
+            m = oracle.step(xb, yb, t, mask, k_g=k_g)
             d_t.append(m["d_loss"])
             g_t.append(m["g_loss"])
             gstep += 1
@@ -538,14 +780,18 @@ def run_parity_trace(
     xs, ys = np.asarray(x_train), np.asarray(y_train)
     xp, yp = xs[:batch_size], ys[:batch_size]
     kp = jax.random.fold_in(key, 10_000)
-    k_t, k_m, _ = jax.random.split(kp, 3)
+    k_t, k_m, k_cf = jax.random.split(kp, 3)
     tp = np.asarray(sample_targets(k_t, jnp.asarray(yp), num_classes, True))
     mp = np.asarray(mask_fn(k_m, jnp.asarray(xp)))
-    cf_jax = np.asarray(bundle.cf_fn(
-        {"params": state.g.params, **state.g.stats},
-        jnp.asarray(xp), jnp.asarray(tp), jnp.asarray(mp),
-    )[0])
-    cf_torch = oracle.cf_eval(xp, tp, mp)
+    if hasattr(oracle, "cf_probe"):
+        # families whose cf_fn needs extra args (tabular: key + hard Gumbel)
+        cf_jax, cf_torch = oracle.cf_probe(bundle, state, xp, tp, mp, k_cf)
+    else:
+        cf_jax = np.asarray(bundle.cf_fn(
+            {"params": state.g.params, **state.g.stats},
+            jnp.asarray(xp), jnp.asarray(tp), jnp.asarray(mp),
+        )[0])
+        cf_torch = oracle.cf_eval(xp, tp, mp)
     cf_delta = float(np.max(np.abs(cf_jax - cf_torch)))
 
     return ParityTrace(

@@ -27,7 +27,11 @@ from cfgan.models.generators import (
     MoonsResidualGenerator,
     TabularResidualGenerator,
 )
-from cfgan.models.tabular import assemble_residual, build_cat_norm_values
+from cfgan.models.tabular import (
+    assemble_residual,
+    build_cat_norm_values,
+    derive_gumbel_noise,
+)
 from cfgan.train.countergan import make_countergan_step, make_epoch_runner
 from cfgan.train.state import GANState, NetState, adam_like_torch
 
@@ -267,7 +271,13 @@ def build_tabular_countergan(
     num_classes: int = 4,
     seed: int = 42,
     diagnostics: bool = True,
+    explicit_gumbel: bool = False,
 ):
+    """`explicit_gumbel=True` derives each categorical head's Gumbel noise
+    as `gumbel(fold_in(step_key, feature_idx))` instead of through flax's
+    'gumbel' rng collection — i.i.d.-identical sampling, but with a
+    derivation the torch parity oracle can reproduce from the same key
+    (used by `tools/parity_report.py` / `tests/test_epoch_parity.py`)."""
     cat_norm_values = build_cat_norm_values(schema.categorical_info, stats)
     g_model = TabularResidualGenerator(
         input_dim=schema.input_dim,
@@ -289,12 +299,18 @@ def build_tabular_countergan(
     )
     clf_vars = {"params": clf_state.params, **clf_state.stats}
 
+    def _gumbel_kwargs(key, batch, dtype):
+        if explicit_gumbel:
+            return {"gumbel_noise": derive_gumbel_noise(
+                key, batch, schema.categorical_info, dtype)}
+        return {"rngs": {"gumbel": key}}
+
     def g_forward(params, stats_, x, t, t_oh, mask, key):
         (cont, logits, samples), new_stats = g_model.apply(
             {"params": params, **stats_},
             x, t_oh, mask,
             temperature=cfg.gumbel_tau, hard=False, train=True,
-            mutable=["batch_stats"], rngs={"gumbel": key},
+            mutable=["batch_stats"], **_gumbel_kwargs(key, x.shape[0], x.dtype),
         )
         raw = assemble_residual(x, cont, samples, schema.continuous_idx,
                                 cat_norm_values)
@@ -335,7 +351,7 @@ def build_tabular_countergan(
         cont, logits, samples = g_model.apply(
             g_variables, x, t_oh, mask,
             temperature=cfg.gumbel_tau, hard=hard, train=False,
-            rngs={"gumbel": key},
+            **_gumbel_kwargs(key, x.shape[0], x.dtype),
         )
         raw = assemble_residual(x, cont, samples, schema.continuous_idx,
                                 cat_norm_values)

@@ -70,6 +70,68 @@ def test_moons_epoch_parity(moons_data):
 
 
 @pytest.mark.slow
+def test_tabular_epoch_parity():
+    """~20 steps of the KC-house tabular pipeline (reduced width for CPU:
+    hidden 16, 2 FiLM blocks, batch 64) spanning an epoch boundary: Gumbel-
+    Softmax categorical heads with per-step noise SHARED between frameworks
+    (derived from the step key, `derive_gumbel_noise`), categorical residual
+    assembly, spectral-norm D, WGAN-style losses, hard-Gumbel cf probe.
+
+    Tolerances are looser than moons (same spectral-norm D) because the
+    tabular G amplifies f32 reduction noise harder: Gumbel-Softmax at
+    tau=0.5 doubles logit deltas inside an exp, the CE term runs through a
+    256-wide BN classifier, and the WGAN D loss is a difference of means
+    with magnitude ~3e-3 (so absolute deltas look large relative to it).
+    The measured 20-step trace FLUCTUATES without trending (g-delta peaks
+    mid-run then shrinks 5x) — accumulation, not divergence; step-0
+    agreement is pinned tighter by test_step_parity_tabular.py."""
+    from cfgan.data.kc_house import KC_SCHEMA
+    from cfgan.models.classifiers import TabularClassifier
+    from cfgan.testing import TabularCounterganOracle
+    from cfgan.train.builders import build_tabular_countergan
+
+    H, NB, B = 16, 2, 64
+    cfg = CounterGANConfig(
+        lr_g=1e-3, lr_d=1e-3, lambda_adv=1.0, lambda_cls=2.0,
+        lambda_reg_l1=1.0, lambda_reg_l2=0.0, lambda_mask=1.0,
+        resample_target=True, hidden_dim=H, num_res_blocks=NB,
+        gumbel_tau=0.5,
+    )
+    schema = KC_SCHEMA
+    clf_model = TabularClassifier()
+    clf_state = NetState.create(
+        clf_model.init(
+            {"params": jax.random.key(1), "dropout": jax.random.key(1)},
+            jnp.zeros((2, schema.input_dim)), train=False,
+        ),
+        adam_like_torch(1e-3),
+    )
+    bundle = build_tabular_countergan(
+        cfg, clf_model, clf_state, schema, stats=None, seed=21,
+        explicit_gumbel=True,
+    )
+    oracle = TabularCounterganOracle(bundle, clf_state, cfg, schema, None)
+
+    rng = np.random.RandomState(3)
+    n = B * 10
+    x = rng.uniform(0, 1, (n, schema.input_dim)).astype(np.float32)
+    y = rng.randint(0, 4, n)
+    tr = run_parity_trace(
+        bundle, oracle, x, y, epochs=2, batch_size=B, num_classes=4,
+        resample_target=True, seed=17, max_steps=20,
+        mask_fn=lambda k, xb: random_feature_mask(
+            k, xb.shape[0], xb.shape[1], schema.immutable_idx
+        ),
+    )
+    s = tr.summary()
+    assert s["steps"] == 20
+    assert s["d_delta_max"] < 5e-4, s
+    assert s["g_delta_max"] < 5e-3, s
+    assert s["param_drift_max_rel"] < 3e-2, s
+    assert s["cf_eval_delta_max"] < 5e-2, s
+
+
+@pytest.mark.slow
 def test_mnist_multistep_parity():
     """~60 steps of the MNIST image pipeline (reduced width for CPU: CH=8,
     1 resblock, batch 16) spanning an epoch boundary: BCE adversarial

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
-import torch.nn as tnn
 import torch.nn.functional as F
 
 from cfgan.core.config import CounterGANConfig
@@ -26,7 +25,13 @@ from cfgan.models.classifiers import TabularClassifier
 from cfgan.models.generators import TabularResidualGenerator
 from cfgan.models.discriminators import SpectralMLPDiscriminator
 from cfgan.models.tabular import assemble_residual, build_cat_norm_values
-from cfgan.testing.oracles import TorchSpectralD, copy_linear, _t
+from cfgan.testing.oracles import (
+    TorchSpectralD,
+    TorchTabularClf,
+    TorchTabularG,
+    copy_linear,
+    _t,
+)
 from cfgan.train.countergan import make_countergan_step, sample_targets
 from cfgan.train.state import GANState, NetState, adam_like_torch
 
@@ -36,73 +41,6 @@ D_IN = KC_SCHEMA.input_dim
 B = 32
 TAU = 0.5
 N_BLOCKS = 5
-
-
-class TorchFiLMBlock(tnn.Module):
-    """Linear-BN-FiLM-ReLU-Linear-BN-FiLM + skip with ONE shared FiLM
-    (`house models/generator.py:19-35`)."""
-
-    def __init__(self, cond_dim):
-        super().__init__()
-        self.fc1 = tnn.Linear(H, H)
-        self.bn1 = tnn.BatchNorm1d(H)
-        self.fc2 = tnn.Linear(H, H)
-        self.bn2 = tnn.BatchNorm1d(H)
-        self.gamma = tnn.Linear(cond_dim, H)
-        self.beta = tnn.Linear(cond_dim, H)
-
-    def film(self, h, cond):
-        return self.gamma(cond) * h + self.beta(cond)
-
-    def forward(self, h, cond):
-        out = F.relu(self.film(self.bn1(self.fc1(h)), cond))
-        out = self.film(self.bn2(self.fc2(out)), cond)
-        return h + out
-
-
-class TorchTabularG(tnn.Module):
-    def __init__(self, cont_idx, cat_info):
-        super().__init__()
-        cond_dim = C + D_IN
-        self.fc_in = tnn.Linear(D_IN + cond_dim, H)
-        self.blocks = tnn.ModuleList(
-            [TorchFiLMBlock(cond_dim) for _ in range(N_BLOCKS)]
-        )
-        self.fc_cont = tnn.Linear(H, len(cont_idx))
-        self.fc_cat = tnn.ModuleDict(
-            {str(i): tnn.Linear(H, len(v)) for i, v in cat_info.items()}
-        )
-
-    def forward(self, x, t_oh, mask, noise, tau):
-        cond = torch.cat([t_oh, mask], 1)
-        h = F.relu(self.fc_in(torch.cat([x, cond], 1)))
-        for blk in self.blocks:
-            h = blk(h, cond)
-        cont = self.fc_cont(h) * 0.1
-        logits, samples = {}, {}
-        for i in sorted(int(k) for k in self.fc_cat):
-            lg = self.fc_cat[str(i)](h)
-            logits[i] = lg
-            # F.gumbel_softmax with EXPLICIT noise (soft mode)
-            samples[i] = F.softmax((lg + noise[i]) / tau, dim=-1)
-        return cont, logits, samples
-
-
-class TorchTabularClf(tnn.Module):
-    """Mirror of TabularClassifier (Linear -> LeakyReLU(.1) -> BN -> Dropout;
-    eval mode: dropout off, BN running stats)."""
-
-    def __init__(self):
-        super().__init__()
-        widths = [(D_IN, 256), (256, 256), (256, 128), (128, 64)]
-        self.fcs = tnn.ModuleList([tnn.Linear(i, o) for i, o in widths])
-        self.bns = tnn.ModuleList([tnn.BatchNorm1d(o) for _, o in widths])
-        self.out = tnn.Linear(64, C)
-
-    def forward(self, x):
-        for fc, bn in zip(self.fcs, self.bns):
-            x = bn(F.leaky_relu(fc(x), 0.1))
-        return self.out(x)
 
 
 @pytest.mark.slow
@@ -194,7 +132,8 @@ def test_tabular_one_step_parity():
 
     # ---- torch mirrors with copied weights ----
     gp = state.g.params
-    tg = TorchTabularG(schema.continuous_idx, schema.categorical_info)
+    tg = TorchTabularG(D_IN, H, C, N_BLOCKS, schema.continuous_idx,
+                       schema.categorical_info)
     copy_linear(tg.fc_in, gp["fc_in"])
     for i, blk in enumerate(tg.blocks):
         bp = gp[f"block{i}"]
@@ -218,7 +157,7 @@ def test_tabular_one_step_parity():
 
     cp = clf_vars["params"]
     cs = clf_vars["batch_stats"]
-    tc = TorchTabularClf()
+    tc = TorchTabularClf(D_IN, C)
     for i in range(4):
         copy_linear(tc.fcs[i], cp[f"Linear_{i}"])
         tc.bns[i].weight.data = _t(cp[f"BatchNorm_{i}"]["scale"])

@@ -103,6 +103,42 @@ def run_mnist(steps: int, ch: int, nrb: int, batch: int):
     )
 
 
+def run_house(max_steps: int):
+    from cfgan.core.config import ClassifierConfig, CounterGANConfig
+    from cfgan.data.kc_house import load_kc_house
+    from cfgan.masks.feature import random_feature_mask
+    from cfgan.models.classifiers import TabularClassifier
+    from cfgan.testing import TabularCounterganOracle, run_parity_trace
+    from cfgan.train.builders import build_tabular_countergan
+    from cfgan.train.classifier import train_classifier
+
+    (xtr, ytr), (xte, yte), stats, _, schema = load_kc_house()
+    clf_model = TabularClassifier()
+    clf_state, _ = train_classifier(
+        clf_model, ClassifierConfig(lr=5e-4, epochs=2, batch_size=128),
+        (xtr, ytr), (xte, yte), seed=1,
+    )
+    # reference preset (`house_sales_kc_usa/config.py:13-52`)
+    cfg = CounterGANConfig(
+        lr_g=1e-3, lr_d=1e-3, lambda_adv=1.0, lambda_cls=2.0,
+        lambda_reg_l1=1.0, lambda_reg_l2=0.0, lambda_mask=1.0,
+        resample_target=True, hidden_dim=32, num_res_blocks=5,
+        gumbel_tau=0.5,
+    )
+    bundle = build_tabular_countergan(
+        cfg, clf_model, clf_state, schema, stats, seed=13,
+        explicit_gumbel=True,
+    )
+    oracle = TabularCounterganOracle(bundle, clf_state, cfg, schema, stats)
+    return run_parity_trace(
+        bundle, oracle, xtr, ytr, epochs=4, batch_size=128, num_classes=4,
+        resample_target=True, seed=9, max_steps=max_steps,
+        mask_fn=lambda k, xb: random_feature_mask(
+            k, xb.shape[0], xb.shape[1], schema.immutable_idx
+        ),
+    )
+
+
 def write_trace(out_dir: str, name: str, trace) -> dict:
     rows = ["step,d_jax,d_torch,g_jax,g_torch,abs_d_delta,abs_g_delta"]
     for i in range(len(trace.d_jax)):
@@ -149,6 +185,24 @@ target/mask samples.  Both sides f32 on CPU.
 | function-relevant param drift (max rel) | {n[param_drift_max_rel]:.3e} |
 | eval-mode x_cf max delta (probe batch) | {n[cf_eval_delta_max]:.3e} |
 
+## KC-house tabular CounteRGAN — {h_steps} steps at the reference preset (hidden 32, 5 FiLM blocks, batch 128)
+
+| metric | value |
+|---|---|
+| max per-step D-loss delta | {h[d_delta_max]:.3e} |
+| mean per-step D-loss delta | {h[d_delta_mean]:.3e} |
+| max per-step G-loss delta | {h[g_delta_max]:.3e} |
+| mean per-step G-loss delta | {h[g_delta_mean]:.3e} |
+| function-relevant param drift (max rel) | {h[param_drift_max_rel]:.3e} |
+| eval-mode x_cf max delta (hard Gumbel, probe batch) | {h[cf_eval_delta_max]:.3e} |
+
+The tabular leg shares per-step Gumbel noise between the frameworks by
+deriving it explicitly from the step key (`derive_gumbel_noise`,
+`cfgan/models/tabular.py`) — i.i.d.-identical to drawing through flax's
+rng collection, but reproducible on the torch side.  Real KC-house CSV,
+FiLM generator with Gumbel-Softmax heads, categorical residual assembly,
+spectral-norm D, WGAN-style losses (`house trainer.py:240-316`).
+
 ## Why not bitwise, and why these tolerances are the honest floor
 
 f32 reductions are order-sensitive; XLA and torch CPU sum in different
@@ -179,40 +233,67 @@ def main():
     ap.add_argument("--out", default="results/parity")
     ap.add_argument("--quick", action="store_true",
                     help="reduced MNIST width/steps (smoke)")
+    ap.add_argument("--legs", default="moons,house,mnist",
+                    help="comma list of legs to (re)run; skipped legs are "
+                         "loaded from the existing summary.json")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    legs = set(args.legs.split(","))
 
-    t0 = time.time()
+    prior = {}
+    summary_path = os.path.join(args.out, "summary.json")
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            prior = json.load(f)
+
     m_epochs = 3
-    print(f"[parity] moons: {m_epochs} epochs ...", file=sys.stderr)
-    m_trace = run_moons(epochs=m_epochs)
-    m = write_trace(args.out, "moons", m_trace)
-    print(f"[parity] moons done in {time.time()-t0:.0f}s: {m}",
-          file=sys.stderr)
+    if "moons" in legs:
+        t0 = time.time()
+        print(f"[parity] moons: {m_epochs} epochs ...", file=sys.stderr)
+        m = write_trace(args.out, "moons", run_moons(epochs=m_epochs))
+        print(f"[parity] moons done in {time.time()-t0:.0f}s: {m}",
+              file=sys.stderr)
+    else:
+        m = prior["moons"]
+
+    h_steps = 30 if args.quick else 280  # ~2 full epochs of 135 steps
+    if "house" in legs:
+        t1 = time.time()
+        print(f"[parity] house: {h_steps} steps at reference preset ...",
+              file=sys.stderr)
+        h = write_trace(args.out, "house", run_house(h_steps))
+        print(f"[parity] house done in {time.time()-t1:.0f}s: {h}",
+              file=sys.stderr)
+    else:
+        h = prior["house"]
 
     if args.quick:
         steps, ch, nrb, batch = 20, 16, 2, 32
     else:
         steps, ch, nrb, batch = 100, 64, 6, 128
-    t1 = time.time()
-    print(f"[parity] mnist: {steps} steps at ch={ch} nrb={nrb} b={batch} ...",
-          file=sys.stderr)
-    n_trace = run_mnist(steps, ch, nrb, batch)
-    n = write_trace(args.out, "mnist", n_trace)
-    print(f"[parity] mnist done in {time.time()-t1:.0f}s: {n}",
-          file=sys.stderr)
+    if "mnist" in legs:
+        t1 = time.time()
+        print(f"[parity] mnist: {steps} steps at ch={ch} nrb={nrb} "
+              f"b={batch} ...", file=sys.stderr)
+        n = write_trace(args.out, "mnist", run_mnist(steps, ch, nrb, batch))
+        print(f"[parity] mnist done in {time.time()-t1:.0f}s: {n}",
+              file=sys.stderr)
+    else:
+        n = prior["mnist"]
 
     summary = {
         "moons": {**m, "epochs": m_epochs, "preset": "reference"},
+        "house": {**h, "preset": "reference"},
         "mnist": {**n, "hidden_dim": ch, "num_res_blocks": nrb,
                   "batch": batch},
     }
-    with open(os.path.join(args.out, "summary.json"), "w") as f:
+    with open(summary_path, "w") as f:
         json.dump(summary, f, indent=1)
     with open(os.path.join(args.out, "report.md"), "w") as f:
-        f.write(REPORT.format(m=m, n=n, m_steps=m["steps"],
+        f.write(REPORT.format(m=m, n=n, h=h, m_steps=m["steps"],
                               m_epochs=m_epochs, n_steps=n["steps"],
-                              ch=ch, nrb=nrb, batch=batch))
+                              h_steps=h["steps"], ch=ch, nrb=nrb,
+                              batch=batch))
     print(json.dumps(summary))
 
 
