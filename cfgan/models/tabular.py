@@ -65,9 +65,11 @@ def assemble_residual(
     """Returns the full (B, D) residual in normalized feature space."""
     residual = jnp.zeros_like(x)
     cont_idx = jnp.asarray(tuple(continuous_idx), jnp.int32)
-    residual = residual.at[:, cont_idx].set(cont_residual)
+    residual = residual.at[:, cont_idx].set(cont_residual.astype(x.dtype))
     for fidx in sorted(cat_samples):
-        norm_vals = jnp.asarray(cat_norm_values[fidx])
-        scalar = cat_samples[fidx] @ norm_vals  # (B,)
+        # norm values in x's dtype so the scatter stays dtype-homogeneous
+        # under bf16 mixed precision (f32->bf16 scatter is a future error)
+        norm_vals = jnp.asarray(cat_norm_values[fidx], x.dtype)
+        scalar = cat_samples[fidx].astype(x.dtype) @ norm_vals  # (B,)
         residual = residual.at[:, fidx].set(scalar - x[:, fidx])
     return residual
