@@ -34,6 +34,22 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def fence(x) -> float:
+    """Timing fence: FETCH a scalar derived from `x` instead of
+    `block_until_ready`.  On the experimental axon (remote-TPU) platform,
+    `block_until_ready` was measured to return prematurely for some scanned
+    programs (a 24-step WGAN-GP epoch "completed" in 1.5 ms — 40x faster
+    than physics allows — while a value fetch showed the true 130 ms; the
+    flagship CounteRGAN program fences correctly either way).  A device->
+    host copy of one scalar cannot complete before the producing program
+    does, so this is the trustworthy fence; it costs one tunnel round trip
+    per timed window."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(leaf.reshape(-1)[0])
+
+
 # --------------------------------------------------------------- cfgan side
 def bench_cfgan():
     import jax
@@ -89,7 +105,7 @@ def bench_cfgan():
     t0 = time.perf_counter()
     for _ in range(WARMUP):
         state, metrics = bundle.epoch_fn(state, x, y, perm, key)
-    jax.block_until_ready(metrics["d_loss"])
+    fence(metrics["d_loss"])
     log(f"[cfgan] compile+warmup {time.perf_counter() - t0:.1f}s on "
         f"{jax.devices()[0].platform}")
 
@@ -98,7 +114,7 @@ def bench_cfgan():
     for i in range(reps):
         state, metrics = bundle.epoch_fn(state, x, y, perm,
                                          jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["d_loss"])
+    fence(metrics["d_loss"])
     dt = (time.perf_counter() - t0) / reps
     train_ips = n / dt
     log(f"[cfgan] scanned epoch: {dt / STEPS * 1e3:.2f} ms/step -> "
@@ -111,11 +127,11 @@ def bench_cfgan():
     t = jnp.asarray(rng.randint(0, 10, BATCH).astype(np.int32))
     mask = jnp.ones((BATCH, 28, 28, 1), jnp.float32)
     out = cf(g_vars, xb, t, mask)
-    jax.block_until_ready(out)
+    fence(out)
     t0 = time.perf_counter()
     for _ in range(STEPS):
         out = cf(g_vars, xb, t, mask)
-    jax.block_until_ready(out)
+    fence(out)
     cf_ps = BATCH * STEPS / (time.perf_counter() - t0)
     log(f"[cfgan] counterfactuals/sec (batch {BATCH}): {cf_ps:,.0f}")
     return train_ips, cf_ps
@@ -290,13 +306,13 @@ def bench_batch_scaling(batches=(64, 128, 256, 512)):
         key = jax.random.key(2)
         for _ in range(2):  # compile + warm
             state, metrics = bundle.epoch_fn(state, x, y, perm, key)
-        jax.block_until_ready(metrics["d_loss"])
+        fence(metrics["d_loss"])
         reps = 5
         t0 = time.perf_counter()
         for i in range(reps):
             state, metrics = bundle.epoch_fn(state, x, y, perm,
                                              jax.random.fold_in(key, i))
-        jax.block_until_ready(metrics["d_loss"])
+        fence(metrics["d_loss"])
         ips = n * reps / (time.perf_counter() - t0)
         rows.append({"batch": b, "images_per_sec": round(ips, 1),
                      "ms_per_step": round(1000.0 * b / ips, 3)})
@@ -310,9 +326,121 @@ def bench_batch_scaling(batches=(64, 128, 256, 512)):
     return rows
 
 
+def bench_families():
+    """Per-family train-step throughput on the device: the five plain
+    generation families at their reference-preset widths/batches plus the
+    tabular CounteRGAN (rows/sec).  Random inputs of the production shapes
+    (measures compute, not the data path).  Writes bench_families.json."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:
+        log(f"[families] compilation cache unavailable: {e}")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfgan.data.pipeline import epoch_perm
+    from cfgan.experiments.presets import PRESETS
+    from cfgan.train.gan_builders import build_gan
+
+    shapes = {  # family -> (x_shape_tail, num_classes)
+        "simple_gan_moons": ((2,), 0),
+        "simple_gan_mnist": ((28, 28, 1), 0),
+        "cgan_moons": ((2,), 2),
+        "wgan_gp_mnist": ((28, 28, 1), 10),
+        "dcgan_mnist": ((64, 64, 1), 0),
+    }
+    rng = np.random.RandomState(0)
+    rows = []
+
+    def time_epoch(epoch_fn, state, x, y, batch, n, unit):
+        perm = epoch_perm(jax.random.key(3), n, batch)
+        steps = perm.shape[0]
+        key = jax.random.key(2)
+        t0 = time.perf_counter()
+        for _ in range(WARMUP):
+            state, metrics = epoch_fn(state, x, y, perm, key)
+        fence(metrics)
+        compile_s = time.perf_counter() - t0
+        reps = 5
+        t0 = time.perf_counter()
+        for i in range(reps):
+            state, metrics = epoch_fn(state, x, y, perm,
+                                      jax.random.fold_in(key, i))
+        fence(metrics)
+        dt = (time.perf_counter() - t0) / reps
+        return {"batch": batch, "steps": steps,
+                "ms_per_step": round(1000.0 * dt / steps, 3),
+                f"{unit}_per_sec": round(n / dt, 1),
+                "compile_warmup_s": round(compile_s, 1)}
+
+    for preset, (tail, ncls) in shapes.items():
+        cfg = PRESETS[preset]
+        batch = cfg.data.batch_size
+        n = batch * 24
+        x = jnp.asarray(rng.uniform(-1, 1, (n, *tail)).astype(np.float32))
+        y = jnp.asarray(rng.randint(0, max(1, ncls), n).astype(np.int32))
+        bundle = build_gan(cfg.gan, num_classes=ncls, seed=0)
+        r = time_epoch(bundle.epoch_fn, bundle.state, x, y, batch, n,
+                       "images")
+        r["family"] = preset
+        rows.append(r)
+        log(f"[families] {preset}: {r['ms_per_step']} ms/step, "
+            f"{r['images_per_sec']:,.0f} img/s (batch {batch})")
+
+    # tabular CounteRGAN (kc_house reference preset widths)
+    from cfgan.core.config import CounterGANConfig
+    from cfgan.data.kc_house import KC_SCHEMA
+    from cfgan.models.classifiers import TabularClassifier
+    from cfgan.train.builders import build_tabular_countergan
+    from cfgan.train.state import NetState, adam_like_torch
+
+    cfg_t = CounterGANConfig(
+        lr_g=1e-3, lr_d=1e-3, lambda_adv=1.0, lambda_cls=2.0,
+        lambda_reg_l1=1.0, lambda_mask=1.0, resample_target=True,
+        hidden_dim=32, num_res_blocks=5, gumbel_tau=0.5,
+    )
+    clf_model = TabularClassifier()
+    clf_state = NetState.create(
+        clf_model.init(
+            {"params": jax.random.key(1), "dropout": jax.random.key(1)},
+            jnp.zeros((2, KC_SCHEMA.input_dim)), train=False,
+        ),
+        adam_like_torch(1e-3),
+    )
+    bundle = build_tabular_countergan(cfg_t, clf_model, clf_state, KC_SCHEMA,
+                                      stats=None, seed=0, diagnostics=False)
+    batch = 128
+    n = batch * 24
+    x = jnp.asarray(rng.uniform(0, 1, (n, KC_SCHEMA.input_dim))
+                    .astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 4, n).astype(np.int32))
+    r = time_epoch(bundle.epoch_fn, bundle.state, x, y, batch, n, "rows")
+    r["family"] = "house_countergan"
+    rows.append(r)
+    log(f"[families] house_countergan: {r['ms_per_step']} ms/step, "
+        f"{r['rows_per_sec']:,.0f} rows/s (batch {batch})")
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "bench_families.json")
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+    log(f"[families] written to {out}")
+    return rows
+
+
 def main():
     if "--scaling" in sys.argv:
         bench_batch_scaling()
+        return
+    if "--families" in sys.argv:
+        bench_families()
         return
     train_ips, cf_ps = bench_cfgan()
     base = get_baseline()

@@ -1,4 +1,5 @@
-"""Roofline / utilization analysis of the flagship train step.
+"""Roofline / utilization analysis of the flagship train step (or, with
+--serving, the fused counterfactual serving path).
 
 Quantifies "how close to speed-of-light" the fused MNIST CounteRGAN step is:
 pulls XLA's own cost model for the compiled step (FLOPs + HBM bytes), times
@@ -6,10 +7,15 @@ the step, and reports achieved FLOP/s and effective HBM bandwidth against
 the chip's peaks, plus the step's arithmetic intensity vs the machine
 balance point (which side of the roofline it sits on).
 
+--serving analyzes the production serving program instead
+(`cfgan.serve.engine.CounterfactualEngine._serve`: G forward -> clamp ->
+classifier on x_cf AND x -> softmax probs, one fused XLA program).
+
 The reference has no comparable analysis (it publishes no performance
 numbers at all, SURVEY.md section 6).
 
 Usage:  python tools/roofline.py [--batch 128] [--dtype float32|bfloat16]
+                                 [--serving]
 """
 from __future__ import annotations
 
@@ -37,6 +43,9 @@ def main():
                     choices=("float32", "bfloat16"))
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--chip", default="v5e", choices=sorted(PEAKS))
+    ap.add_argument("--serving", action="store_true",
+                    help="analyze the fused CF serving path instead of the "
+                         "train step")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -72,8 +81,20 @@ def main():
     y = jnp.asarray(rng.randint(0, 10, args.batch).astype(np.int32))
     key = jax.random.key(0)
 
-    step = jax.jit(bundle.step_fn, donate_argnums=(0,))
-    lowered = jax.jit(bundle.step_fn).lower(bundle.state, x, y, key)
+    if args.serving:
+        from cfgan.serve.engine import CounterfactualEngine
+
+        engine = CounterfactualEngine.from_bundle(bundle, clf_model,
+                                                  clf_state)
+        mask = jnp.ones((args.batch, 28, 28, 1), jnp.float32)
+        fn = engine._serve
+        fn_args = (engine.g_vars, x, y, mask, key)
+        program = "serving_cf"
+    else:
+        fn = jax.jit(bundle.step_fn, donate_argnums=(0,))
+        fn_args = (bundle.state, x, y, key)
+        program = "train_step"
+    lowered = jax.jit(fn).lower(*fn_args)
     compiled = lowered.compile()
     try:
         cost = compiled.cost_analysis()
@@ -87,15 +108,33 @@ def main():
     # timed run (per-step dispatch; the scanned epoch is slightly faster,
     # see bench.py — this keeps the cost model and the timing on the SAME
     # executable)
-    state = bundle.state
-    for _ in range(3):
-        state, m = step(state, x, y, key)
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, m = step(state, x, y, key)
-    jax.block_until_ready(m)
-    dt = (time.perf_counter() - t0) / args.steps
+    def fence(out):
+        # FETCH a scalar instead of block_until_ready: on the experimental
+        # axon platform block_until_ready returns prematurely for some
+        # programs (see bench.py `fence`); a device->host scalar copy
+        # cannot complete before the producing program does.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(leaf.reshape(-1)[0])
+
+    if args.serving:
+        for _ in range(3):
+            m = fn(*fn_args)
+        fence(m)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            m = fn(*fn_args)
+        fence(m)
+        dt = (time.perf_counter() - t0) / args.steps
+    else:
+        state = bundle.state
+        for _ in range(3):
+            state, m = fn(state, x, y, key)
+        fence(m)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, m = fn(state, x, y, key)
+        fence(m)
+        dt = (time.perf_counter() - t0) / args.steps
 
     achieved_tflops = flops / dt / 1e12
     achieved_bw = bytes_acc / dt / 1e9
@@ -103,6 +142,7 @@ def main():
     peak_tflops, peak_bw = PEAKS[args.chip]
     out = {
         "backend": jax.default_backend(),
+        "program": program,
         "batch": args.batch,
         "compute_dtype": args.dtype,
         "step_ms": round(dt * 1e3, 3),
