@@ -165,10 +165,20 @@ def build_moons_countergan(
         mask_sampler=mask_sampler, diagnostics=diagnostics,
     )
 
+    cf_cd = jnp.dtype(cfg.compute_dtype)
+
     @jax.jit
     def cf_fn(g_variables, x, target, mask, key=None):
-        t_oh = jax.nn.one_hot(target, num_classes, dtype=x.dtype)
-        raw, masked = g_model.apply(g_variables, x, t_oh, mask, train=False)
+        """Serving/eval CF forward at the configured compute dtype (the
+        x + masked epilogue stays float32 either way)."""
+        gv, xc, mc = g_variables, x, mask
+        if cf_cd != jnp.float32:
+            gv = _cast_floats(gv, cf_cd)
+            xc, mc = x.astype(cf_cd), mask.astype(cf_cd)
+        t_oh = jax.nn.one_hot(target, num_classes, dtype=xc.dtype)
+        raw, masked = g_model.apply(gv, xc, t_oh, mc, train=False)
+        raw = raw.astype(jnp.float32)
+        masked = masked.astype(jnp.float32)
         return x + masked, raw, masked
 
     return CounterGANBundle(
@@ -249,9 +259,20 @@ def build_mnist_countergan(
         mask_sampler=mask_sampler, diagnostics=diagnostics,
     )
 
+    cf_cd = jnp.dtype(cfg.compute_dtype)
+
     @jax.jit
     def cf_fn(g_variables, x, target, mask, key=None):
-        raw, masked = g_model.apply(g_variables, x, target, mask, train=False)
+        """Serving/eval CF forward at the configured compute dtype — the
+        generator (≈95% of the serving FLOPs) runs on the MXU in bf16 when
+        `compute_dtype="bfloat16"`; the clamp epilogue stays float32."""
+        gv, xc, mc = g_variables, x, mask
+        if cf_cd != jnp.float32:
+            gv = _cast_floats(gv, cf_cd)
+            xc, mc = x.astype(cf_cd), mask.astype(cf_cd)
+        raw, masked = g_model.apply(gv, xc, target, mc, train=False)
+        raw = raw.astype(jnp.float32)
+        masked = masked.astype(jnp.float32)
         x_cf = jnp.clip(x + masked, -1.0, 1.0)
         return x_cf, raw, masked
 
@@ -343,16 +364,25 @@ def build_tabular_countergan(
         mask_sampler=mask_sampler, diagnostics=diagnostics,
     )
 
+    cf_cd = jnp.dtype(cfg.compute_dtype)
+
     @partial(jax.jit, static_argnames=("hard",))
     def cf_fn(g_variables, x, target, mask, key, hard: bool = True):
         """Eval-time CF: hard Gumbel, clamp to [0,1] data space
-        (`house eval_utils.py:126-181`)."""
-        t_oh = jax.nn.one_hot(target, num_classes, dtype=x.dtype)
+        (`house eval_utils.py:126-181`); generator forward at the
+        configured compute dtype, residual assembly + clamp float32."""
+        gv, xc, mc = g_variables, x, mask
+        if cf_cd != jnp.float32:
+            gv = _cast_floats(gv, cf_cd)
+            xc, mc = x.astype(cf_cd), mask.astype(cf_cd)
+        t_oh = jax.nn.one_hot(target, num_classes, dtype=xc.dtype)
         cont, logits, samples = g_model.apply(
-            g_variables, x, t_oh, mask,
+            gv, xc, t_oh, mc,
             temperature=cfg.gumbel_tau, hard=hard, train=False,
-            **_gumbel_kwargs(key, x.shape[0], x.dtype),
+            **_gumbel_kwargs(key, x.shape[0], xc.dtype),
         )
+        cont = cont.astype(jnp.float32)
+        samples = {k: v.astype(jnp.float32) for k, v in samples.items()}
         raw = assemble_residual(x, cont, samples, schema.continuous_idx,
                                 cat_norm_values)
         masked = raw * mask
