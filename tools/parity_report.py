@@ -10,8 +10,11 @@ summary:
   (base_ch 64, 6 resblocks, batch 128 — `mnist/config.py:3-29`).
 
 CPU-only (torch is CPU in this image; XLA CPU keeps the comparison
-bit-for-bit honest — no TPU matmul precision questions).  The MNIST leg
-takes ~30-40 min at reference width; run with --quick for a smoke.
+bit-for-bit honest — no TPU matmul precision questions).  On a 1-core
+host the MNIST leg takes HOURS at reference width (XLA CPU runs the
+scanned epoch at ~2-3 min/step at these conv widths; the torch oracle is
+~6-13 s/step) — run it detached (nohup), or use --quick for a smoke, or
+--legs to run/rerun individual legs.
 
 Usage:  python tools/parity_report.py [--quick] [--out results/parity]
 """
