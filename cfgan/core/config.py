@@ -122,6 +122,8 @@ class GANConfig:
     gp_lambda: float = 10.0
     g_before_d: bool = False  # simple_gan/mnist updates G before D
     sample_every: int = 0  # iterations between fixed-noise sample grids
+    compute_dtype: str = "float32"  # "bfloat16": G/D fwd+bwd on the MXU in
+    # bf16, f32 params/opt/losses (same policy as CounterGANConfig)
 
 
 @dataclass(frozen=True)

@@ -147,6 +147,13 @@ def build_gan(cfg: GANConfig, *, num_classes: int = 0,
 
     g_apply, _ = _stateful_apply(g_model, conditional, g_stats)
     _, d_apply = _stateful_apply(d_model, conditional, d_stats)
+    # bf16 forward+backward on the MXU, f32 params/opt/losses — the same
+    # mixed-precision policy as the CounteRGAN builders (the GP penalty's
+    # norm and all loss reductions stay f32; casts are transposed by vjp)
+    from cfgan.train.builders import make_mixed_precision
+
+    g_apply = make_mixed_precision(g_apply, cfg.compute_dtype)
+    d_apply = make_mixed_precision(d_apply, cfg.compute_dtype)
 
     step_fn = make_gan_step(
         g_apply=g_apply, d_apply=d_apply, tx_g=tx_g, tx_d=tx_d,

@@ -166,3 +166,29 @@ def test_separate_d_passes_call_pattern():
         y = jnp.zeros((B,), jnp.int32)
         jax.jit(step)(state, x, y, jax.random.key(0))  # trace records calls
         assert calls == want, (separate, calls)
+
+
+@pytest.mark.parametrize("family,ncls,tail", [
+    ("simple_mlp", 0, (2,)),
+    ("cgan_mlp", 2, (2,)),
+    ("mlp_image", 0, (28, 28, 1)),
+    ("dcgan", 0, (64, 64, 1)),
+    ("wgan_gp", 10, (28, 28, 1)),
+])
+def test_bf16_step_all_families(family, ncls, tail):
+    """Every generation family trains under compute_dtype='bfloat16'
+    (mixed precision: bf16 fwd+bwd, f32 params/opt/losses — same policy as
+    the CounteRGAN builders): finite losses, f32 state preserved."""
+    b = build_gan(
+        GANConfig(family=family, latent_dim=16, hidden_dim=16,
+                  compute_dtype="bfloat16",
+                  n_critic=2 if family == "wgan_gp" else 1),
+        num_classes=ncls, seed=1,
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, *tail)).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, max(1, ncls), 8).astype(np.int32))
+    st, m = jax.jit(b.step_fn)(b.state, x, y, jax.random.key(0))
+    assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+    leaf = jax.tree_util.tree_leaves(st.g.params)[0]
+    assert leaf.dtype == jnp.float32  # params stay f32
