@@ -110,7 +110,7 @@ class CounterGANConfig:
 class GANConfig:
     """Plain generation families (simple / conditional / DCGAN / WGAN-GP)."""
 
-    family: str = "simple_mlp"  # simple_mlp | cgan_mlp | dcgan | wgan_gp | cgan_conv
+    family: str = "simple_mlp"  # simple_mlp | mlp_image | cgan_mlp | dcgan | wgan_gp
     epochs: int = 500
     lr_g: float = 1e-3
     lr_d: float = 1e-3
