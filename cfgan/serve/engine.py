@@ -76,6 +76,22 @@ class CounterfactualEngine:
             x = x[None]
         return np.asarray(self._classify(x))
 
+    #: pad request batches up to the next power of two (cap 512) so the
+    #: jitted serving program compiles O(log max_batch) variants instead of
+    #: one per distinct request size — a fresh compile costs seconds to
+    #: minutes, so unbucketed shapes would make first-request latency
+    #: unpredictable.  Padded rows replicate the last sample and are
+    #: sliced off the results; wasted compute is bounded below 2x.
+    pad_to_bucket: bool = True
+    _MAX_BUCKET = 512
+
+    @classmethod
+    def _bucket(cls, b: int) -> int:
+        n = 1
+        while n < b:
+            n <<= 1
+        return b if n > cls._MAX_BUCKET else n
+
     def generate(self, x, target, mask=None, key=None) -> CFResult:
         """Batched counterfactual generation.  `target` may be an int
         (broadcast) or a per-sample array; `mask` defaults to all-ones with
@@ -92,9 +108,21 @@ class CounterfactualEngine:
         if mask.ndim == x.ndim - 1:
             mask = jnp.broadcast_to(mask[None], x.shape)
         key = key if key is not None else jax.random.key(0)
+        nb = self._bucket(b) if self.pad_to_bucket else b
+        if nb != b:
+            pad = nb - b
+            x_in = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], 0)
+            t_in = jnp.concatenate([t, jnp.repeat(t[-1:], pad, axis=0)], 0)
+            m_in = jnp.concatenate(
+                [mask, jnp.repeat(mask[-1:], pad, axis=0)], 0)
+        else:
+            x_in, t_in, m_in = x, t, mask
         x_cf, residual, probs, probs_orig = self._serve(
-            self.g_vars, x, t, mask, key
+            self.g_vars, x_in, t_in, m_in, key
         )
+        if nb != b:
+            x_cf, residual = x_cf[:b], residual[:b]
+            probs, probs_orig = probs[:b], probs_orig[:b]
         pred = np.asarray(jnp.argmax(probs, axis=1))
         out = CFResult(
             x_cf=np.asarray(x_cf),

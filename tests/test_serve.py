@@ -52,6 +52,31 @@ def test_engine_single_sample_and_flip_flag(moons_engine):
     np.testing.assert_allclose(res.probs.sum(axis=1), 1.0, rtol=1e-5)
 
 
+def test_engine_batch_bucketing(moons_engine):
+    """Requests pad to power-of-two buckets so the serving program compiles
+    O(log max_batch) shape variants, not one per distinct request size;
+    padded rows are sliced off and results match the unbucketed path."""
+    eng, xte, yte = moons_engine
+    assert CounterfactualEngine._bucket(1) == 1
+    assert CounterfactualEngine._bucket(3) == 4
+    assert CounterfactualEngine._bucket(129) == 256
+    assert CounterfactualEngine._bucket(513) == 513  # beyond cap: exact
+
+    r3 = eng.generate(xte[:3], target=1)
+    assert r3.x_cf.shape[0] == 3 and r3.probs.shape[0] == 3
+    # same bucket (4): results for the shared prefix must be identical
+    r4 = eng.generate(xte[:4], target=1)
+    np.testing.assert_array_equal(r3.x_cf, r4.x_cf[:3])
+    # bucketing must not change values vs the exact-shape path
+    eng.pad_to_bucket = False
+    try:
+        exact = eng.generate(xte[:3], target=1)
+    finally:
+        eng.pad_to_bucket = True
+    np.testing.assert_array_equal(r3.x_cf, exact.x_cf)
+    np.testing.assert_array_equal(r3.pred, exact.pred)
+
+
 def test_engine_classify_matches_probs_orig(moons_engine):
     eng, xte, yte = moons_engine
     x = xte[:8]
