@@ -51,11 +51,12 @@ def fence(x) -> float:
 
 
 # --------------------------------------------------------------- cfgan side
-def bench_cfgan():
+def _setup_compile_cache():
+    """Persistent compilation cache (the env var alone is ignored on this
+    platform — must go through jax.config): first fused-step compile through
+    the remote-compile tunnel costs minutes; cache it across bench runs."""
     import jax
 
-    # persistent compilation cache: the first fused-step compile through the
-    # remote-compile tunnel costs minutes; cache it across bench runs
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
@@ -64,7 +65,13 @@ def bench_cfgan():
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception as e:
-        log(f"[cfgan] compilation cache unavailable: {e}")
+        log(f"[bench] compilation cache unavailable: {e}")
+
+
+def bench_cfgan():
+    import jax
+
+    _setup_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -269,6 +276,8 @@ def bench_batch_scaling(batches=(64, 128, 256, 512)):
     default is the reference's batch — this substantiates where the chip
     actually saturates)."""
     import jax
+
+    _setup_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -333,15 +342,7 @@ def bench_families():
     (measures compute, not the data path).  Writes bench_families.json."""
     import jax
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception as e:
-        log(f"[families] compilation cache unavailable: {e}")
+    _setup_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -90,7 +90,11 @@ class CounterfactualEngine:
         n = 1
         while n < b:
             n <<= 1
-        return b if n > cls._MAX_BUCKET else n
+        if n <= cls._MAX_BUCKET:
+            return n
+        # beyond the cap: round up to a multiple of the cap so huge varying
+        # batches still compile a bounded set of variants (waste < 2x)
+        return -(-b // cls._MAX_BUCKET) * cls._MAX_BUCKET
 
     def generate(self, x, target, mask=None, key=None) -> CFResult:
         """Batched counterfactual generation.  `target` may be an int
@@ -106,7 +110,11 @@ class CounterfactualEngine:
             mask = self.default_mask(b, x.shape)
         mask = jnp.asarray(mask, x.dtype)
         if mask.ndim == x.ndim - 1:
-            mask = jnp.broadcast_to(mask[None], x.shape)
+            mask = mask[None]
+        # materialize broadcasts (e.g. a (1, D) mask against a (B, D) x)
+        # BEFORE bucket padding — padding a size-1 batch dim would otherwise
+        # produce a mask batch that matches neither b nor the bucket
+        mask = jnp.broadcast_to(mask, x.shape)
         key = key if key is not None else jax.random.key(0)
         nb = self._bucket(b) if self.pad_to_bucket else b
         if nb != b:

@@ -60,7 +60,13 @@ def test_engine_batch_bucketing(moons_engine):
     assert CounterfactualEngine._bucket(1) == 1
     assert CounterfactualEngine._bucket(3) == 4
     assert CounterfactualEngine._bucket(129) == 256
-    assert CounterfactualEngine._bucket(513) == 513  # beyond cap: exact
+    # beyond the pow2 cap: round up to a multiple of the cap
+    assert CounterfactualEngine._bucket(513) == 1024
+    assert CounterfactualEngine._bucket(1025) == 1536
+
+    # a broadcastable (1, D) mask must survive padding (materialized first)
+    rb = eng.generate(xte[:3], target=1, mask=np.ones((1, 2), np.float32))
+    assert rb.x_cf.shape[0] == 3
 
     r3 = eng.generate(xte[:3], target=1)
     assert r3.x_cf.shape[0] == 3 and r3.probs.shape[0] == 3

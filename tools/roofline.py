@@ -96,6 +96,11 @@ def main():
         program = "train_step"
     lowered = jax.jit(fn).lower(*fn_args)
     compiled = lowered.compile()
+    if args.serving:
+        # time the SAME executable the cost model describes (no donation in
+        # the serving program, so nothing is lost) — and avoid a second
+        # cold compile through engine._serve's own jit cache
+        fn = compiled
     try:
         cost = compiled.cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
@@ -108,13 +113,7 @@ def main():
     # timed run (per-step dispatch; the scanned epoch is slightly faster,
     # see bench.py — this keeps the cost model and the timing on the SAME
     # executable)
-    def fence(out):
-        # FETCH a scalar instead of block_until_ready: on the experimental
-        # axon platform block_until_ready returns prematurely for some
-        # programs (see bench.py `fence`); a device->host scalar copy
-        # cannot complete before the producing program does.
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        return float(leaf.reshape(-1)[0])
+    from bench import fence  # the shared axon timing fence (scalar fetch)
 
     if args.serving:
         for _ in range(3):
