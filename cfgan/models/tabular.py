@@ -25,20 +25,30 @@ def derive_gumbel_noise(
 ) -> dict[int, jnp.ndarray]:
     """Deterministic per-head Gumbel noise: feature idx -> (B, n_values).
 
-    Each categorical head's noise is `gumbel(fold_in(key, idx))` — i.i.d.
+    Row i of head idx is `gumbel(fold_in(fold_in(key, idx), i))` — i.i.d.
     Gumbel exactly like drawing through flax's 'gumbel' rng collection, but
-    with a derivation transparent enough that the torch parity oracle
-    (`cfgan/testing/oracles.py`) can reproduce the SAME noise from the same
-    step key, which is what makes epoch-scale tabular loss parity testable
-    (the Gumbel draw is the one per-step nondeterminism the two frameworks
-    cannot otherwise share; see `tests/test_step_parity_tabular.py`).
+    with two engineered properties:
+
+    * the torch parity oracle (`cfgan/testing/oracles.py`) can reproduce
+      the SAME noise from the same step key, which is what makes
+      epoch-scale tabular loss parity testable (the Gumbel draw is the one
+      per-step nondeterminism the two frameworks cannot otherwise share;
+      see `tests/test_step_parity_tabular.py`);
+    * row i's noise depends only on (key, idx, i), NEVER on `batch` — so
+      the serving engine's bucket padding (`serve/engine.py`) cannot
+      change the counterfactual drawn for a given sample: padded and
+      unpadded requests produce identical results for the real rows.
     """
-    return {
-        idx: jax.random.gumbel(
-            jax.random.fold_in(key, idx), (batch, len(vals)), dtype
-        )
-        for idx, vals in sorted(categorical_info.items())
-    }
+    rows = jnp.arange(batch, dtype=jnp.uint32)
+    out = {}
+    for idx, vals in sorted(categorical_info.items()):
+        head_key = jax.random.fold_in(key, idx)
+        row_keys = jax.vmap(jax.random.fold_in, (None, 0))(head_key, rows)
+        n_vals = len(vals)
+        out[idx] = jax.vmap(
+            lambda k: jax.random.gumbel(k, (n_vals,), dtype)  # noqa: B023
+        )(row_keys)
+    return out
 
 
 def build_cat_norm_values(

@@ -94,8 +94,33 @@ def _resolve_mask(engine: CounterfactualEngine, body: dict, batch: int,
     return np.asarray(engine.mask_from_feature_names(feats, batch))
 
 
+def _validate_x(engine: CounterfactualEngine, x: np.ndarray) -> None:
+    """Reject wrong-rank/wrong-width inputs as 400s BEFORE they reach the
+    engine — an unrecognized rank would otherwise be treated as batched
+    and surface as a 500 with a raw IndexError/XLA shape error."""
+    if engine.schema is not None:  # tabular engine
+        d = engine.schema.input_dim
+        if x.ndim not in (1, 2) or x.shape[-1] != d:
+            raise ApiError(
+                f"'x' must be a {d}-feature vector or a batch of them "
+                f"(got shape {x.shape})"
+            )
+    elif engine.patch_size is not None:  # image engine
+        if x.ndim not in (3, 4):
+            raise ApiError(
+                "'x' must be an (H, W, C) image or an (B, H, W, C) batch "
+                f"— include the channel dim (got shape {x.shape})"
+            )
+    elif x.ndim not in (1, 2):  # generic vector engine (moons)
+        raise ApiError(
+            f"'x' must be a feature vector or a batch of them "
+            f"(got shape {x.shape})"
+        )
+
+
 def _handle_classify(engine: CounterfactualEngine, body: dict) -> dict:
     x = _as_array(body.get("x"), "x")
+    _validate_x(engine, x)
     probs = engine.classify(x)
     return {"probs": probs.tolist(),
             "pred": np.argmax(probs, axis=1).tolist()}
@@ -105,6 +130,7 @@ def _handle_counterfactual(engine: CounterfactualEngine, body: dict) -> dict:
     import jax
 
     x = _as_array(body.get("x"), "x")
+    _validate_x(engine, x)
     target = body.get("target")
     if target is None:
         raise ApiError("missing required field 'target'")

@@ -59,7 +59,12 @@ def _tmp_png() -> str:
 # ------------------------------------------------------------------- MNIST
 class MnistChatBackend:
     """UI-independent state machine behind the MNIST chat app
-    (`mnist/gr.py:68-231`)."""
+    (`mnist/gr.py:68-231`).
+
+    Single-session object: carries conversation state (`current_idx`) and
+    a `np.random.RandomState` — create one per user session; only the
+    shared `engine` underneath is thread-safe (see `serve/engine.py`).
+    The same ownership rule applies to `HouseBackend` / `MoonsBackend`."""
 
     def __init__(self, engine: CounterfactualEngine, x_test, y_test,
                  patch_size: int = 7, llm=None, seed: int = 0):

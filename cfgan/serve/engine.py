@@ -10,6 +10,19 @@ counterfactual, residual, prediction and class probabilities.
 
 Engines are constructed either from live training state or from orbax-style
 checkpoints written by the experiment mains.
+
+Thread ownership: a constructed engine is safe to SHARE across request
+threads (`serve/api.py` uses ThreadingHTTPServer) — `generate`/`classify`
+are pure functions of their arguments plus the immutable `g_vars`, JAX
+dispatch and the jit caches are thread-safe, and bucket padding is
+value-invariant per row, so concurrent first-touch of the same bucket at
+worst compiles once per bucket (pinned by
+`tests/test_serve_api.py::test_concurrent_hammer_mixed_endpoints`).
+Mutating configuration (`pad_to_bucket`, `g_vars`) is NOT synchronized —
+reconfigure only while no requests are in flight.  The gradio *backends*
+(`serve/apps.py`) are by contrast single-session objects: they carry
+conversation state and a `np.random.RandomState` and must not be shared
+across concurrent sessions.
 """
 from __future__ import annotations
 
@@ -82,6 +95,11 @@ class CounterfactualEngine:
     #: minutes, so unbucketed shapes would make first-request latency
     #: unpredictable.  Padded rows replicate the last sample and are
     #: sliced off the results; wasted compute is bounded below 2x.
+    #: Padding cannot change results: the deterministic families ignore
+    #: `key`, and the tabular cf_fn derives its Gumbel noise PER ROW
+    #: (`derive_gumbel_noise`, cfgan/models/tabular.py), so row i's draw
+    #: depends only on (key, head, i), never on the padded batch size —
+    #: pinned by tests/test_serve.py::test_bucket_padding_value_invariant.
     pad_to_bucket: bool = True
     _MAX_BUCKET = 512
 

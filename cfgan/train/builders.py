@@ -63,14 +63,24 @@ def make_mixed_precision(apply_fn, compute_dtype: str):
     """Wrap an apply-style fn (params, stats, *arrays, **kw) so the forward
     (and, through jax.vjp's transpose of the casts, the backward) runs in
     `compute_dtype` while parameters, optimizer state and loss math stay
-    float32.  Identity when compute_dtype == 'float32'."""
+    float32.  Identity when compute_dtype == 'float32'.
+
+    BatchNorm running mean/var stay f32 through the wrapper, standard-AMP
+    style: train-mode normalization uses the *batch* statistics (still
+    computed in `compute_dtype`), so the hot path is unaffected, while the
+    running EMAs accumulate in f32 instead of being re-quantized through
+    bf16 every step — which would silently degrade eval-mode fidelity over
+    long runs.  Spectral-norm u DOES get cast: it re-normalizes itself
+    every iteration (quantization cannot accumulate), and an f32 u would
+    promote the whole spectral matmul chain out of bf16."""
     if compute_dtype == "float32":
         return apply_fn
     cd = jnp.dtype(compute_dtype)
 
     def wrapped(params, stats, *arrays, **kw):
         params = _cast_floats(params, cd)
-        stats = _cast_floats(stats, cd)
+        stats = {k: (v if k == "batch_stats" else _cast_floats(v, cd))
+                 for k, v in stats.items()}
         arrays = tuple(_cast_floats(a, cd) for a in arrays)
         out, new_stats = apply_fn(params, stats, *arrays, **kw)
         return _cast_floats(out, jnp.float32), _cast_floats(
@@ -103,10 +113,14 @@ def _init_state(g_model, d_model, g_inputs, d_inputs, cfg, key):
     d_vars = d_model.init({"params": kd}, *d_inputs)
     tx_g = adam_like_torch(cfg.lr_g)
     tx_d = adam_like_torch(cfg.lr_d)
+    g_net = NetState.create(g_vars, tx_g)
     state = GANState(
-        g=NetState.create(g_vars, tx_g),
+        g=g_net,
         d=NetState.create(d_vars, tx_d),
         step=jnp.zeros((), jnp.int32),
+        # EMA starts AT the init params (no debias term needed)
+        g_ema=(jax.tree_util.tree_map(jnp.array, g_net.params)
+               if getattr(cfg, "ema_decay", 0.0) else None),
     )
     return state, tx_g, tx_d
 
@@ -370,7 +384,11 @@ def build_tabular_countergan(
     def cf_fn(g_variables, x, target, mask, key, hard: bool = True):
         """Eval-time CF: hard Gumbel, clamp to [0,1] data space
         (`house eval_utils.py:126-181`); generator forward at the
-        configured compute dtype, residual assembly + clamp float32."""
+        configured compute dtype, residual assembly + clamp float32.
+        Gumbel noise is ALWAYS the explicit per-row derivation here
+        (regardless of the bundle's training-path `explicit_gumbel`
+        setting) so a sample's counterfactual is invariant to the batch
+        it is served in — required by the engine's bucket padding."""
         gv, xc, mc = g_variables, x, mask
         if cf_cd != jnp.float32:
             gv = _cast_floats(gv, cf_cd)
@@ -379,7 +397,9 @@ def build_tabular_countergan(
         cont, logits, samples = g_model.apply(
             gv, xc, t_oh, mc,
             temperature=cfg.gumbel_tau, hard=hard, train=False,
-            **_gumbel_kwargs(key, x.shape[0], xc.dtype),
+            gumbel_noise=derive_gumbel_noise(
+                key, x.shape[0], schema.categorical_info, xc.dtype
+            ),
         )
         cont = cont.astype(jnp.float32)
         samples = {k: v.astype(jnp.float32) for k, v in samples.items()}

@@ -83,6 +83,48 @@ def test_engine_batch_bucketing(moons_engine):
     np.testing.assert_array_equal(r3.pred, exact.pred)
 
 
+def test_bucket_padding_value_invariant():
+    """Tabular serving draws Gumbel noise PER ROW (`derive_gumbel_noise`),
+    so bucket padding — which changes the batch the compiled program
+    actually sees — cannot change a sample's counterfactual."""
+    from cfgan.data.kc_house import load_kc_house
+    from cfgan.models.classifiers import TabularClassifier
+    from cfgan.train.state import NetState, adam_like_torch
+    from cfgan.train.builders import build_tabular_countergan
+
+    (xtr, ytr), _, stats, _, schema = load_kc_house(seed=0)
+    tclf = TabularClassifier(num_classes=4)
+    tclf_state = NetState.create(
+        tclf.init({"params": jax.random.key(0), "dropout": jax.random.key(0)},
+                  jnp.asarray(xtr[:2])),
+        adam_like_torch(1e-3),
+    )
+    bundle = build_tabular_countergan(
+        CounterGANConfig(hidden_dim=16, num_res_blocks=1),
+        tclf, tclf_state, schema, stats, num_classes=4, seed=3,
+    )
+    eng = CounterfactualEngine.from_bundle(
+        bundle, tclf, tclf_state, schema=schema, stats=stats
+    )
+    x = jnp.asarray(xtr[:3])
+    key = jax.random.key(7)
+    res_pad = eng.generate(x, target=2, key=key)  # pads 3 -> bucket 4
+    eng.pad_to_bucket = False
+    try:
+        res_exact = eng.generate(x, target=2, key=key)
+    finally:
+        eng.pad_to_bucket = True
+    np.testing.assert_array_equal(res_pad.x_cf, res_exact.x_cf)
+    np.testing.assert_array_equal(res_pad.pred, res_exact.pred)
+
+    # the raw cf_fn is row-invariant to batch size outright
+    t8 = jnp.full((8,), 2, jnp.int32)
+    m8 = jnp.asarray(eng.default_mask(8, (8, schema.input_dim)))
+    cf8 = bundle.cf_fn(eng.g_vars, jnp.asarray(xtr[:8]), t8, m8, key)[0]
+    cf3 = bundle.cf_fn(eng.g_vars, x, t8[:3], m8[:3], key)[0]
+    np.testing.assert_array_equal(np.asarray(cf8)[:3], np.asarray(cf3))
+
+
 def test_engine_classify_matches_probs_orig(moons_engine):
     eng, xte, yte = moons_engine
     x = xte[:8]

@@ -153,6 +153,25 @@ def image_api():
     server.shutdown()
 
 
+def test_wrong_rank_x_is_400(api, image_api):
+    """Rank/width validation: a channel-less 2-D image, a 3-D tensor to a
+    vector engine, or a wrong-width tabular row must be a 400 client
+    error, not a 500 from deep inside the engine."""
+    # moons (generic vector) engine: 3-D x is nonsense
+    _, base, _ = api
+    status, resp = _post(base, "/counterfactual",
+                         {"x": [[[0.1, 0.2]]], "target": 1})
+    assert status == 400 and "'x' must be" in resp["error"]
+    # classify validates too
+    status, resp = _post(base, "/classify", {"x": [[[0.1, 0.2]]]})
+    assert status == 400 and "'x' must be" in resp["error"]
+    # image engine: 2-D image without the channel dim
+    ibase, H, W = image_api
+    status, resp = _post(ibase, "/counterfactual",
+                         {"x": np.zeros((H, W)).tolist(), "target": 1})
+    assert status == 400 and "channel dim" in resp["error"]
+
+
 def test_patches_mask_over_http(image_api):
     base, H, W = image_api
     x = np.zeros((1, H, W, 1), np.float32).tolist()
@@ -201,9 +220,64 @@ def test_features_mask_over_http():
         status, body = _post(base, "/counterfactual",
                              {"x": x, "target": 0, "features": ["zz"]})
         assert status == 400 and "unknown feature names" in body["error"]
+        # wrong feature width -> 400 (not an XLA shape error 500)
+        status, body = _post(base, "/counterfactual",
+                             {"x": [[0.5, 0.5, 0.5]], "target": 0})
+        assert status == 400 and "4-feature" in body["error"]
         assert _get(base, "/health")[1]["kind"] == "tabular"
     finally:
         server.shutdown()
+
+
+def test_concurrent_hammer_mixed_endpoints(api):
+    """Concurrency hammer (`serve/api.py` uses ThreadingHTTPServer, so
+    `engine.generate`/`engine.classify` run concurrently across request
+    threads): 8 threads x 6 requests each, mixing /classify and
+    /counterfactual at batch sizes crossing bucket edges
+    (1, 2, 127, 128, 129, 512, 513 -> buckets 1, 2, 128, 256, 512, 1024).
+
+    Asserts (a) every response bit-equals the sequential reference — the
+    moons cf_fn is deterministic, and bucket padding is value-invariant —
+    and (b) the serving jit cache grows by at most the number of distinct
+    buckets touched, i.e. bucketing keeps compiles O(log max_batch) even
+    under concurrent first-touch of the same bucket."""
+    import concurrent.futures
+
+    engine, base, xte = api
+    sizes = [1, 2, 127, 128, 129, 512, 513]
+    xs = {b: np.resize(np.asarray(xte), (b, 2)).astype(np.float32)
+          for b in sizes}
+    # sequential references (also pre-warms nothing: fresh buckets below
+    # 1 and 2 are already compiled by earlier tests; measure the delta)
+    refs_cf = {b: engine.generate(xs[b], target=b % 3) for b in sizes}
+    refs_pr = {b: engine.classify(xs[b]) for b in sizes}
+    cache_before = engine._serve._cache_size()
+
+    def worker(tid: int):
+        rng = np.random.RandomState(tid)
+        order = rng.permutation(len(sizes) * 2 - 1) % len(sizes)
+        for j in order[:6]:
+            b = sizes[j]
+            if (tid + j) % 2:
+                status, body = _post(base, "/classify",
+                                     {"x": xs[b].tolist()})
+                assert status == 200, body
+                np.testing.assert_array_equal(
+                    np.asarray(body["probs"], np.float32), refs_pr[b])
+            else:
+                status, body = _post(base, "/counterfactual",
+                                     {"x": xs[b].tolist(), "target": b % 3})
+                assert status == 200, body
+                np.testing.assert_array_equal(
+                    np.asarray(body["x_cf"], np.float32), refs_cf[b].x_cf)
+                assert body["pred"] == refs_cf[b].pred.tolist()
+        return tid
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        done = list(pool.map(worker, range(8)))
+    assert done == list(range(8))
+    # every size above maps into the pre-warmed bucket set -> no growth
+    assert engine._serve._cache_size() == cache_before
 
 
 def test_unknown_path_404_and_bad_json_400(api):

@@ -48,10 +48,9 @@ def main():
                          "train step")
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.join(os.path.dirname(
-                              os.path.dirname(os.path.abspath(__file__))),
-                              ".jax_cache"))
+    from bench import _setup_compile_cache
+
+    _setup_compile_cache()  # env var alone is ignored on this platform
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -87,20 +86,19 @@ def main():
         engine = CounterfactualEngine.from_bundle(bundle, clf_model,
                                                   clf_state)
         mask = jnp.ones((args.batch, 28, 28, 1), jnp.float32)
-        fn = engine._serve
         fn_args = (engine.g_vars, x, y, mask, key)
         program = "serving_cf"
+        compiled = jax.jit(engine._serve).lower(*fn_args).compile()
     else:
-        fn = jax.jit(bundle.step_fn, donate_argnums=(0,))
         fn_args = (bundle.state, x, y, key)
         program = "train_step"
-    lowered = jax.jit(fn).lower(*fn_args)
-    compiled = lowered.compile()
-    if args.serving:
-        # time the SAME executable the cost model describes (no donation in
-        # the serving program, so nothing is lost) — and avoid a second
-        # cold compile through engine._serve's own jit cache
-        fn = compiled
+        compiled = jax.jit(
+            bundle.step_fn, donate_argnums=(0,)
+        ).lower(*fn_args).compile()
+    # ONE compile per run: the cost model and the timing below share this
+    # executable (donation preserved on the train path — a nested
+    # jit(jitted_fn).lower() would drop it and cold-compile twice)
+    fn = compiled
     try:
         cost = compiled.cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
