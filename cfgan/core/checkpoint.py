@@ -63,7 +63,16 @@ def restore(path: str, target):
     confusing broadcast error deep inside a jitted step."""
     with open(os.path.join(path, "checkpoint.msgpack"), "rb") as f:
         blob = f.read()
-    restored = serialization.from_bytes(target, blob)
+    state_dict = serialization.msgpack_restore(blob)
+    # backward compat: GANState gained the optional `g_ema` field (round 3);
+    # checkpoints written before it lack the key — inject the template's
+    # value (None for EMA-less configs) so old train_state dirs restore
+    if isinstance(state_dict, dict) and "g_ema" not in state_dict:
+        from cfgan.train.state import GANState
+
+        if isinstance(target, GANState):
+            state_dict["g_ema"] = serialization.to_state_dict(target.g_ema)
+    restored = serialization.from_state_dict(target, state_dict)
     for got, want in zip(jax.tree_util.tree_leaves(restored),
                          jax.tree_util.tree_leaves(target)):
         if hasattr(want, "shape") and getattr(got, "shape", None) != want.shape:

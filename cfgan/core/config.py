@@ -103,6 +103,12 @@ class CounterGANConfig:
     # (jax.checkpoint): trades ~1/3 more FLOPs for O(depth) less activation
     # memory — the knob for scaling G depth/width beyond HBM
     remat: bool = False
+    # generator EMA (capability uplift, standard GAN stabilizer): > 0
+    # maintains an exponential moving average of G params per STEP inside
+    # the fused program (initialized at the init params, so no debias term)
+    # for use at eval/serving time; 0 disables.  The train-path gradients
+    # always flow through the live params.
+    ema_decay: float = 0.0
     mask: MaskConfig = field(default_factory=MaskConfig)
 
 

@@ -166,6 +166,18 @@ def make_countergan_step(
         (g_grads,) = g_vjp((ct_raw, jnp.zeros_like(masked)))
         g_new = state.g.apply_grads(tx_g, g_grads, new_stats=new_g_stats)
 
+        # ---- per-step generator EMA (cfg.ema_decay > 0): one fused
+        # axpy per leaf inside the same XLA program, free on the HBM
+        # roofline relative to the optimizer update it rides with ----
+        if cfg.ema_decay:
+            dec = cfg.ema_decay
+            g_ema = jax.tree_util.tree_map(
+                lambda e, p: dec * e + (1.0 - dec) * p,
+                state.g_ema, g_new.params,
+            )
+        else:
+            g_ema = state.g_ema
+
         # ---- on-device diagnostics (reference prints these per batch) ----
         metrics = {"d_loss": d_loss, "g_loss": g_total}
         if diagnostics:
@@ -188,7 +200,8 @@ def make_countergan_step(
                     ]
                 ),
             )
-        return GANState(g=g_new, d=d_new, step=state.step + 1), metrics
+        return GANState(g=g_new, d=d_new, step=state.step + 1,
+                        g_ema=g_ema), metrics
 
     return step
 

@@ -44,6 +44,19 @@ class GANState:
     g: NetState
     d: NetState
     step: jnp.ndarray  # int32 scalar
+    # per-step EMA of the generator params (CounterGANConfig.ema_decay > 0);
+    # None when EMA is off — None is an empty pytree node, so the no-EMA
+    # state keeps its round-1/2 structure (old mid-run `train_state`
+    # checkpoints remain restorable for EMA-less configs)
+    g_ema: Any = None
+
+
+def g_eval_variables(state: "GANState") -> dict:
+    """Generator variables for eval/serving: the EMA params when the state
+    carries them (CounterGANConfig.ema_decay > 0), the live params
+    otherwise.  BN/spectral stats are always the live collections."""
+    params = state.g_ema if state.g_ema is not None else state.g.params
+    return {"params": params, **state.g.stats}
 
 
 def adam_like_torch(lr: float, betas=(0.9, 0.999), eps: float = 1e-8,

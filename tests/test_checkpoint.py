@@ -120,3 +120,40 @@ def test_midrun_resume_is_bit_identical(moons_data):
     assert int(res_state.step) == int(ref_state.step)
     np.testing.assert_array_equal(ref_hist["d_loss"], res_hist["d_loss"])
     np.testing.assert_array_equal(ref_hist["g_loss"], res_hist["g_loss"])
+
+
+def test_pre_ema_train_state_checkpoint_restores(tmp_path, moons_data):
+    """Round-2 `train_state` checkpoints were written before GANState grew
+    the optional `g_ema` field; restoring one into a fresh (EMA-less)
+    template must still work (restore injects the template's None)."""
+    import os
+
+    from flax import serialization
+
+    from cfgan.core.config import ClassifierConfig, CounterGANConfig
+    from cfgan.models.classifiers import MLPClassifier
+    from cfgan.train.builders import build_moons_countergan
+    from cfgan.train.classifier import train_classifier
+
+    (xtr, ytr), _, _ = moons_data
+    clf_model = MLPClassifier()
+    clf_state, _ = train_classifier(
+        clf_model, ClassifierConfig(lr=1e-2, steps=10), (xtr, ytr), seed=1
+    )
+    bundle = build_moons_countergan(CounterGANConfig(), clf_model, clf_state,
+                                    seed=2)
+    # simulate the OLD on-disk format: state dict without the g_ema key
+    sd = serialization.to_state_dict(jax.tree_util.tree_map(
+        np.asarray, bundle.state))
+    assert "g_ema" in sd
+    sd.pop("g_ema")
+    path = str(tmp_path / "old_state")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "checkpoint.msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(sd))
+
+    restored = ckpt.restore(path, bundle.state)
+    assert restored.g_ema is None
+    for a, b in zip(jax.tree_util.tree_leaves(bundle.state.g.params),
+                    jax.tree_util.tree_leaves(restored.g.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

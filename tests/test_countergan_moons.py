@@ -203,3 +203,47 @@ def test_remat_step_matches_no_remat(moons_data):
     for a, b_ in zip(jax.tree_util.tree_leaves(st0.g.params),
                      jax.tree_util.tree_leaves(st1.g.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+
+
+def test_generator_ema(moons_data):
+    """`ema_decay > 0`: the fused step carries a per-step EMA of the
+    generator params — verified against a hand-computed EMA over the live
+    param trajectory — and `g_eval_variables` prefers it."""
+    from cfgan.train.state import g_eval_variables
+
+    (xtr, ytr), _, _ = moons_data
+    clf_model = MLPClassifier()
+    clf_state, _ = train_classifier(
+        clf_model, ClassifierConfig(lr=1e-2, steps=20), (xtr, ytr), seed=1
+    )
+    dec = 0.9
+    b = build_moons_countergan(
+        CounterGANConfig(ema_decay=dec), clf_model, clf_state, seed=4
+    )
+    state = b.state
+    expected = jax.tree_util.tree_map(np.asarray, state.g.params)
+    step = jax.jit(b.step_fn)
+    for i in range(3):
+        state, _ = step(state, jnp.asarray(xtr[:32]), jnp.asarray(ytr[:32]),
+                        jax.random.key(i))
+        expected = jax.tree_util.tree_map(
+            lambda e, p: dec * e + (1 - dec) * np.asarray(p),
+            expected, state.g.params,
+        )
+    for e, g in zip(jax.tree_util.tree_leaves(expected),
+                    jax.tree_util.tree_leaves(state.g_ema)):
+        np.testing.assert_allclose(np.asarray(g), e, rtol=1e-6, atol=1e-7)
+    # EMA differs from live params and is what eval/serving sees
+    gv = g_eval_variables(state)
+    leaves_live = jax.tree_util.tree_leaves(state.g.params)
+    leaves_eval = jax.tree_util.tree_leaves(gv["params"])
+    assert any(
+        not np.allclose(a, b_) for a, b_ in zip(leaves_live, leaves_eval)
+    )
+    # EMA-less states keep the old structure (None) and eval = live params
+    b2 = build_moons_countergan(CounterGANConfig(), clf_model, clf_state,
+                                seed=4)
+    st2, _ = jax.jit(b2.step_fn)(b2.state, jnp.asarray(xtr[:32]),
+                                 jnp.asarray(ytr[:32]), jax.random.key(0))
+    assert st2.g_ema is None
+    assert g_eval_variables(st2)["params"] is st2.g.params
