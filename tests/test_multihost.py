@@ -70,6 +70,24 @@ g = float(jax.device_get(metrics["g_loss"]))
 leaf = jax.tree_util.tree_leaves(new_state.g.params)[0]
 assert leaf.sharding.is_fully_replicated, "params lost replication"
 print("STEP", pid, f"{{d:.8f}}", f"{{g:.8f}}", flush=True)
+
+# ---- the SCANNED production epoch runner across the 2-process mesh ----
+# (make_epoch_runner's lax.scan over device-resident data, not a
+# hand-jitted step: the path every experiment main actually runs)
+from cfgan.data.pipeline import epoch_perm
+N = 128
+xall = jax.make_array_from_callback((N, 2), bsh, lambda idx: xtr[:N][idx])
+yall = jax.make_array_from_callback((N,), NamedSharding(mesh, P("data")),
+                                    lambda idx: ytr[:N][idx])
+perm = epoch_perm(jax.random.key(12), N, B)
+ep_state, ep_metrics = bundle.epoch_fn(state, xall, yall, perm,
+                                       jax.random.key(13))
+jax.block_until_ready(ep_metrics)
+ed = float(jax.device_get(ep_metrics["d_loss"]))
+eg = float(jax.device_get(ep_metrics["g_loss"]))
+leaf = jax.tree_util.tree_leaves(ep_state.g.params)[0]
+assert leaf.sharding.is_fully_replicated, "epoch lost replication"
+print("EPOCH", pid, f"{{ed:.8f}}", f"{{eg:.8f}}", flush=True)
 """
 
 
@@ -139,3 +157,26 @@ def test_two_process_global_mesh(tmp_path):
     # ~2e-4 on a ~15 loss (1e-5 relative)
     np.testing.assert_allclose(float(metrics["d_loss"]), float(d0), atol=1e-4)
     np.testing.assert_allclose(float(metrics["g_loss"]), float(g0), atol=1e-3)
+
+    # ---- the scanned epoch runner ran across both ranks and agrees ----
+    epochs = sorted(
+        line.split()[1:] for out in outs for line in out.splitlines()
+        if line.startswith("EPOCH")
+    )
+    assert len(epochs) == 2, outs
+    (_, ed0, eg0), (_, ed1, eg1) = epochs
+    assert ed0 == ed1 and eg0 == eg1  # identical across ranks
+
+    from cfgan.data.pipeline import epoch_perm
+
+    # the workers ran their epoch from the INITIAL replicated state (the
+    # hand-jitted step above did not donate), so compare from bundle.state
+    perm = epoch_perm(jax.random.key(12), 128, 64)
+    _, ep_metrics = bundle.epoch_fn(
+        bundle.state, jnp.asarray(xtr[:128]), jnp.asarray(ytr[:128]), perm,
+        jax.random.key(13),
+    )
+    np.testing.assert_allclose(float(ep_metrics["d_loss"]), float(ed0),
+                               atol=1e-4)
+    np.testing.assert_allclose(float(ep_metrics["g_loss"]), float(eg0),
+                               atol=1e-3)

@@ -67,6 +67,89 @@ def test_sharded_epoch_matches_single_device(moons_data):
         )
 
 
+def test_sharded_tabular_epoch_matches_single_device():
+    """The tabular CounteRGAN program (scatter-based residual assembly,
+    Gumbel rng under jit, spectral-norm D with carried power iteration) is
+    structurally unlike the dense image/moons steps — pin that it compiles
+    and runs data-parallel over the mesh with metrics equal to one device."""
+    from cfgan.data.kc_house import load_kc_house
+    from cfgan.models.classifiers import TabularClassifier
+    from cfgan.train.builders import build_tabular_countergan
+    from cfgan.train.state import NetState, adam_like_torch
+
+    (xtr, ytr), _, stats, _, schema = load_kc_house(seed=0)
+    tclf = TabularClassifier(num_classes=4)
+    tclf_state = NetState.create(
+        tclf.init({"params": jax.random.key(0), "dropout": jax.random.key(0)},
+                  jnp.asarray(xtr[:2])),
+        adam_like_torch(1e-3),
+    )
+    cfg = CounterGANConfig(hidden_dim=16, num_res_blocks=2)
+
+    n, batch = 256, 64
+    x = jnp.asarray(xtr[:n], jnp.float32)
+    y = jnp.asarray(ytr[:n], jnp.int32)
+    perm = epoch_perm(jax.random.key(3), n, batch)
+    key = jax.random.key(4)
+
+    b1 = build_tabular_countergan(cfg, tclf, tclf_state, schema, stats,
+                                  num_classes=4, seed=3)
+    _, m_single = b1.epoch_fn(b1.state, x, y, perm, key)
+
+    mesh = create_mesh()
+    b2 = build_tabular_countergan(cfg, tclf, tclf_state, schema, stats,
+                                  num_classes=4, seed=3)
+    xs, ys = shard_batch(mesh, (np.asarray(x), np.asarray(y)))
+    state_r = replicate(mesh, b2.state)
+    new_state, m_shard = b2.epoch_fn(state_r, xs, ys, perm, key)
+
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_shard[k]), rtol=2e-4, atol=1e-5,
+            err_msg=k,
+        )
+    # spectral-norm power-iteration state must come back replicated too
+    for leaf in jax.tree_util.tree_leaves(new_state.d.stats):
+        assert leaf.sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_sharded_wgan_gp_epoch_matches_single_device():
+    """WGAN-GP's gradient-penalty double-backward (grad-of-grad through the
+    critic at random interpolates) plus the lax.cond n_critic schedule is
+    the last structurally distinct compiled program — pin it on the mesh
+    (`mnist_wgan_conditional.py:146-154` rebuilt in train/gan.py)."""
+    from cfgan.core.config import GANConfig
+    from cfgan.train.gan_builders import build_gan
+
+    cfg = GANConfig(family="wgan_gp", latent_dim=8, hidden_dim=16,
+                    n_critic=2, gp_lambda=10.0)
+    rng = np.random.RandomState(0)
+    n, batch = 128, 32
+    x = rng.uniform(-1, 1, (n, 28, 28, 1)).astype(np.float32)
+    y = rng.randint(0, 10, n).astype(np.int32)
+    perm = epoch_perm(jax.random.key(5), n, batch)
+    key = jax.random.key(6)
+
+    b1 = build_gan(cfg, num_classes=10, seed=9)
+    _, m_single = b1.epoch_fn(b1.state, jnp.asarray(x), jnp.asarray(y),
+                              perm, key)
+
+    mesh = create_mesh()
+    b2 = build_gan(cfg, num_classes=10, seed=9)
+    xs, ys = shard_batch(mesh, (x, y))
+    state_r = replicate(mesh, b2.state)
+    new_state, m_shard = b2.epoch_fn(state_r, xs, ys, perm, key)
+
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_shard[k]), rtol=2e-4, atol=1e-4,
+            err_msg=k,
+        )
+    leaf = jax.tree_util.tree_leaves(new_state.g.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
 def test_train_loop_mesh_option(moons_data):
     """train_countergan_loop(mesh=...) runs data-parallel end-to-end."""
     from cfgan.train.loop import train_countergan_loop
