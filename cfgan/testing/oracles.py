@@ -707,6 +707,7 @@ def run_parity_trace(
     fixed_target=None,
     seed: int = 42,
     max_steps: int | None = None,
+    return_state: bool = False,
 ) -> ParityTrace:
     """Run the SCANNED cfgan epoch runner and the eager torch oracle over
     the same shuffled epochs (same perms, same per-step target/mask
@@ -794,8 +795,14 @@ def run_parity_trace(
         cf_torch = oracle.cf_eval(xp, tp, mp)
     cf_delta = float(np.max(np.abs(cf_jax - cf_torch)))
 
-    return ParityTrace(
+    trace = ParityTrace(
         d_jax=np.asarray(d_j), d_torch=np.asarray(d_t),
         g_jax=np.asarray(g_j), g_torch=np.asarray(g_t), param_drift=drift,
         cf_delta=cf_delta,
     )
+    if return_state:
+        # the trained cfgan state, for end-state (distribution-level)
+        # comparisons past the per-step chaos horizon; the oracle holds its
+        # own trained torch modules
+        return trace, state
+    return trace

@@ -171,3 +171,72 @@ def test_mnist_multistep_parity():
     assert s["g_delta_max"] < 1e-3, s
     assert s["param_drift_max_rel"] < 1e-3, s
     assert s["cf_eval_delta_max"] < 2e-2, s
+
+
+@pytest.mark.slow
+def test_tabular_endstate_distribution_parity():
+    """Distribution-level equivalence PAST the chaos horizon: train the
+    tabular pipeline in both frameworks with shared data order / Gumbel
+    noise for a short-but-complete schedule, then compare the END-STATE
+    per-target flip rates and gains of the trained generators (scored by
+    the same frozen classifier).  This is the correct instrument where
+    per-step tracing rightly fails (`results/parity/report.md`); the full
+    5-epoch x 3-seed run lives in `tools/tabular_endstate_parity.py` /
+    `results/parity/tabular_endstate.json`."""
+    from cfgan.data.kc_house import KC_SCHEMA
+    from cfgan.models.classifiers import TabularClassifier
+    from cfgan.testing import TabularCounterganOracle
+    from cfgan.testing.endstate import (
+        endstate_deltas,
+        tabular_endstate_metrics,
+    )
+    from cfgan.train.builders import build_tabular_countergan
+
+    H, NB, B = 16, 2, 64
+    cfg = CounterGANConfig(
+        lr_g=1e-3, lr_d=1e-3, lambda_adv=1.0, lambda_cls=2.0,
+        lambda_reg_l1=1.0, lambda_reg_l2=0.0, lambda_mask=1.0,
+        resample_target=True, hidden_dim=H, num_res_blocks=NB,
+        gumbel_tau=0.5,
+    )
+    schema = KC_SCHEMA
+    clf_model = TabularClassifier()
+    clf_state = NetState.create(
+        clf_model.init(
+            {"params": jax.random.key(1), "dropout": jax.random.key(1)},
+            jnp.zeros((2, schema.input_dim)), train=False,
+        ),
+        adam_like_torch(1e-3),
+    )
+    bundle = build_tabular_countergan(
+        cfg, clf_model, clf_state, schema, stats=None, seed=23,
+        explicit_gumbel=True,
+    )
+    oracle = TabularCounterganOracle(bundle, clf_state, cfg, schema, None)
+
+    rng = np.random.RandomState(5)
+    n = B * 20
+    x = rng.uniform(0, 1, (n, schema.input_dim)).astype(np.float32)
+    y = rng.randint(0, 4, n)
+    _, state = run_parity_trace(
+        bundle, oracle, x, y, epochs=3, batch_size=B, num_classes=4,
+        resample_target=True, seed=19, max_steps=None, return_state=True,
+        mask_fn=lambda k, xb: random_feature_mask(
+            k, xb.shape[0], xb.shape[1], schema.immutable_idx
+        ),
+    )
+    clf_vars = clf_state.variables()
+
+    def clf_fn(xx):
+        return clf_model.apply(clf_vars, xx, train=False)
+
+    x_eval = rng.uniform(0, 1, (512, schema.input_dim)).astype(np.float32)
+    rows = tabular_endstate_metrics(
+        bundle, state, oracle, clf_fn, x_eval, schema, 4,
+        jax.random.key(777),
+    )
+    d = endstate_deltas(rows)
+    # 60 shared-noise steps: end-state distributions must agree tightly
+    # (per-step losses at this horizon already fluctuate at the e-3 scale)
+    assert d["flip_delta_max"] <= 0.03, d
+    assert d["gain_delta_max"] <= 0.02, d
