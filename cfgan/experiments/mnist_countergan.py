@@ -90,9 +90,11 @@ def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
     )
     gen_dir = os.path.join(out_dir, "generator")
     if ckpt.exists(gen_dir) and not fresh:
+        # the checkpoint holds the SERVED variables (EMA params when the
+        # recipe carries them), so the restored state needs no g_ema
         g_vars = ckpt.restore(gen_dir, dict(bundle.state.g.variables()))
         bundle.state = bundle.state.replace(
-            g=NetState.create(g_vars, bundle.tx_g)
+            g=NetState.create(g_vars, bundle.tx_g), g_ema=None
         )
         state = bundle.state
         history = {}
@@ -106,11 +108,17 @@ def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
             checkpoint_dir=os.path.join(out_dir, "train_state"),
             checkpoint_every=max(1, cfg.countergan.epochs // 4),
         )
-        ckpt.save(gen_dir, state.g.variables())
+        from cfgan.train.state import g_eval_variables
+
+        # persist the variables eval/serving should use: EMA params when
+        # the default recipe's per-step generator EMA is on
+        ckpt.save(gen_dir, g_eval_variables(state))
         plot_loss_curves(history, os.path.join(out_dir, "gan_losses.png"))
 
     # ---- stage 3: evaluation pipeline (mnist/eval_utils.py:572-647) ----
-    g_vars = state.g.variables()
+    from cfgan.train.state import g_eval_variables as _gev
+
+    g_vars = _gev(state)
     clf_vars = clf_state.variables()
 
     def clf_fn(x):

@@ -38,9 +38,11 @@ MOONS_COUNTERGAN = ExperimentConfig(
     ),
 )
 
-# mnist/config.py:3-29
-MNIST_COUNTERGAN = ExperimentConfig(
-    name="mnist_countergan",
+# mnist/config.py:3-29 — the EXACT reference recipe, kept for parity work
+# (the torch oracle traces and the cross-framework loss-parity harness run
+# against this, in f32)
+MNIST_COUNTERGAN_REFERENCE = ExperimentConfig(
+    name="mnist_countergan_reference",
     seed=42,
     num_classes=10,
     data=DataConfig(name="mnist", batch_size=128, valid_fraction=0.1),
@@ -60,6 +62,24 @@ MNIST_COUNTERGAN = ExperimentConfig(
         hidden_dim=64,
         num_res_blocks=6,
         mask=MaskConfig(kind="patch", patch_size=7, num_modifiable_patches=10),
+    ),
+)
+
+# the SHIPPED default: reference recipe + lambda_cls 2 + per-step generator
+# EMA (0.999) + bf16 compute.  The reference's committed per-class CSV is
+# flip 1.0 on all ten targets (`mnist/results/countergan_metrics_per_class
+# .csv:2-11`) but its exact recipe only reaches that for lucky seeds
+# (worst-target floor 0.90 at seed 42, RESULTS.md); this default reaches
+# worst-target flip [1.0, 0.9998, 1.0, 1.0] across seeds 42-45 at the same
+# 20-epoch budget (results/recipe_search_bf16/, tools/recipe_search.py) —
+# robust 1.0, not pick-your-seed.
+MNIST_COUNTERGAN = MNIST_COUNTERGAN_REFERENCE.replace(
+    name="mnist_countergan",
+    countergan=replace(
+        MNIST_COUNTERGAN_REFERENCE.countergan,
+        lambda_cls=2.0,
+        ema_decay=0.999,
+        compute_dtype="bfloat16",
     ),
 )
 
@@ -155,6 +175,7 @@ PRESETS = {
     for p in (
         MOONS_COUNTERGAN,
         MNIST_COUNTERGAN,
+        MNIST_COUNTERGAN_REFERENCE,
         HOUSE_COUNTERGAN,
         SIMPLE_GAN_MOONS,
         SIMPLE_GAN_MNIST,
@@ -245,12 +266,14 @@ HOUSE_COUNTERGAN_CLAMPED = HOUSE_COUNTERGAN.replace(
 )
 PRESETS[HOUSE_COUNTERGAN_CLAMPED.name] = HOUSE_COUNTERGAN_CLAMPED
 
-# bf16 variant of the flagship recipe (RESULTS.md: quality at parity with
-# f32 across seeds on the honest corpus; 1.12x faster step) — first-class
-# so bf16 runs are reproducible without ad-hoc config surgery.
-MNIST_COUNTERGAN_BF16 = MNIST_COUNTERGAN.replace(
+# bf16 variant of the exact REFERENCE recipe (RESULTS.md: quality at parity
+# with f32 across seeds on the honest corpus; 1.12x faster step) — kept
+# first-class so the round-2 bf16-vs-f32 comparison runs stay reproducible.
+# (The shipped default `mnist_countergan` is already bf16 + lambda_cls 2 +
+# EMA; this one isolates the dtype change against the reference recipe.)
+MNIST_COUNTERGAN_BF16 = MNIST_COUNTERGAN_REFERENCE.replace(
     name="mnist_countergan_bf16",
-    countergan=replace(MNIST_COUNTERGAN.countergan,
+    countergan=replace(MNIST_COUNTERGAN_REFERENCE.countergan,
                        compute_dtype="bfloat16"),
 )
 PRESETS[MNIST_COUNTERGAN_BF16.name] = MNIST_COUNTERGAN_BF16
