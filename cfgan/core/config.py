@@ -103,6 +103,14 @@ class CounterGANConfig:
     # (jax.checkpoint): trades ~1/3 more FLOPs for O(depth) less activation
     # memory — the knob for scaling G depth/width beyond HBM
     remat: bool = False
+    # tabular only: run the categorical heads + Gumbel-Softmax in f32 under
+    # bf16 compute (exp((logits+g)/tau) at tau=0.5 amplifies bf16 logit
+    # quantization into argmax flips); no-op under f32 compute.  Default ON:
+    # the controlled ablation (results/tabular_bf16_ablation/,
+    # tools/tabular_bf16_ablation.py) measured it as the best and
+    # lowest-variance arm (worst-seed target-1 flip 0.9815 vs full-bf16
+    # 0.9708 / f32 0.9594) at no measurable cost
+    cat_head_f32: bool = True
     # generator EMA (capability uplift, standard GAN stabilizer): > 0
     # maintains an exponential moving average of G params per STEP inside
     # the fused program (initialized at the init params, so no debias term)

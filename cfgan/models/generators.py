@@ -63,6 +63,11 @@ class TabularResidualGenerator(nn.Module):
     n_blocks: int = 5
     residual_scaling: float = 0.1
     tau: float = 0.5
+    # run the categorical heads + Gumbel-Softmax in f32 even when the trunk
+    # computes in bf16: exp((logits+g)/tau) at tau=0.5 amplifies bf16 logit
+    # quantization into argmax flips — the precision-sensitive site of the
+    # tabular family (no-op under f32 compute)
+    cat_head_f32: bool = False
 
     @nn.compact
     def __call__(
@@ -88,10 +93,13 @@ class TabularResidualGenerator(nn.Module):
         )
 
         tau = self.tau if temperature is None else float(temperature)
+        h_cat = h.astype(jnp.float32) if self.cat_head_f32 else h
         cat_logits, cat_samples = {}, {}
         for idx in sorted(self.categorical_info):
             n = len(self.categorical_info[idx])
-            logits = Linear(n, name=f"fc_cat_{idx}")(h)
+            # f32 input @ bf16 kernel promotes to f32, so with cat_head_f32
+            # the head matmul, softmax and argmax all run in f32
+            logits = Linear(n, name=f"fc_cat_{idx}")(h_cat)
             cat_logits[idx] = logits
             if gumbel_noise is not None:
                 cat_samples[idx] = gumbel_softmax(

@@ -323,6 +323,7 @@ def build_tabular_countergan(
         n_blocks=cfg.num_res_blocks,
         residual_scaling=cfg.residual_scaling,
         tau=cfg.gumbel_tau,
+        cat_head_f32=cfg.cat_head_f32,
     )
     d_model = SpectralMLPDiscriminator(
         hidden_dims=(cfg.hidden_dim, cfg.hidden_dim * 2, cfg.hidden_dim * 4)
@@ -335,6 +336,8 @@ def build_tabular_countergan(
     clf_vars = {"params": clf_state.params, **clf_state.stats}
 
     def _gumbel_kwargs(key, batch, dtype):
+        if cfg.cat_head_f32:
+            dtype = jnp.float32  # noise joins the f32 head path un-quantized
         if explicit_gumbel:
             return {"gumbel_noise": derive_gumbel_noise(
                 key, batch, schema.categorical_info, dtype)}
@@ -398,7 +401,8 @@ def build_tabular_countergan(
             gv, xc, t_oh, mc,
             temperature=cfg.gumbel_tau, hard=hard, train=False,
             gumbel_noise=derive_gumbel_noise(
-                key, x.shape[0], schema.categorical_info, xc.dtype
+                key, x.shape[0], schema.categorical_info,
+                jnp.float32 if cfg.cat_head_f32 else xc.dtype,
             ),
         )
         cont = cont.astype(jnp.float32)

@@ -133,7 +133,7 @@ def main():
         "all_inside_ci": all(v["inside_ci"] for v in verdict.values()),
     }
     os.makedirs(args.out, exist_ok=True)
-    path = os.path.join(args.out, "tabular_endstate.json")
+    path = os.path.join(args.out, f"tabular_endstate_{args.epochs}ep.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"verdict": verdict,
