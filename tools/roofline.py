@@ -14,8 +14,16 @@ classifier on x_cf AND x -> softmax probs, one fused XLA program).
 The reference has no comparable analysis (it publishes no performance
 numbers at all, SURVEY.md section 6).
 
+--latency measures true ON-CHIP single-call serving latency: N serving
+calls are chained inside one compiled `lax.scan` (the carry is x_cf fed
+back as the next input, so the device cannot overlap iterations), and the
+per-call figure is (t(2N) - t(N)) / N — the subtraction cancels the
+per-dispatch constant (host dispatch + the ~26 ms network-relay RTT this
+environment adds), which is what made the round-2 "single-digit ms on a
+locally attached chip" claim an extrapolation rather than a measurement.
+
 Usage:  python tools/roofline.py [--batch 128] [--dtype float32|bfloat16]
-                                 [--serving]
+                                 [--serving | --latency]
 """
 from __future__ import annotations
 
@@ -46,6 +54,12 @@ def main():
     ap.add_argument("--serving", action="store_true",
                     help="analyze the fused CF serving path instead of the "
                          "train step")
+    ap.add_argument("--latency", action="store_true",
+                    help="measure on-chip single-call serving latency via a "
+                         "chained in-jit scan (batches 1/8/%(default)s unless "
+                         "--batch is given)")
+    ap.add_argument("--latency-iters", type=int, default=200,
+                    help="chain length N for --latency (timed at N and 2N)")
     args = ap.parse_args()
 
     from bench import _setup_compile_cache
@@ -79,6 +93,63 @@ def main():
                     .astype(np.float32))
     y = jnp.asarray(rng.randint(0, 10, args.batch).astype(np.int32))
     key = jax.random.key(0)
+
+    if args.latency:
+        from bench import fence
+        from cfgan.serve.engine import CounterfactualEngine
+
+        engine = CounterfactualEngine.from_bundle(bundle, clf_model,
+                                                  clf_state)
+        n = args.latency_iters
+        results = []
+        for b in ([args.batch] if args.batch != 128 else [1, 8, 128]):
+            xb, yb = x[:b], y[:b]  # b is always <= args.batch here
+            mb = jnp.ones((b, 28, 28, 1), jnp.float32)
+
+            def chained(g_vars, x0, tgt, mask, key, iters):
+                def body(carry, i):
+                    x_cf, _, probs, probs_orig = engine._serve(
+                        g_vars, carry, tgt, mask, jax.random.fold_in(key, i))
+                    # carry = x_cf: each call's input is the previous call's
+                    # output, so the device executes the N calls serially.
+                    # probs_orig is folded into the per-iter output so XLA
+                    # cannot dead-code-eliminate the original-input
+                    # classifier pass the real serving program runs.
+                    return x_cf, probs[0, 0] + probs_orig[0, 0]
+                xf, ps = jax.lax.scan(body, x0, jnp.arange(iters))
+                return xf, ps[-1]
+
+            timings = {}
+            for iters in (n, 2 * n):
+                f = jax.jit(chained, static_argnums=(5,))
+                _, p = f(engine.g_vars, xb, yb, mb, key, iters)  # compile
+                fence(p)
+                reps = 3
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    _, p = f(engine.g_vars, xb, yb, mb, key, iters)
+                fence(p)
+                timings[iters] = (time.perf_counter() - t0) / reps
+            per_call_ms = (timings[2 * n] - timings[n]) / n * 1e3
+            results.append({
+                "batch": b,
+                "on_chip_latency_ms_per_call": round(per_call_ms, 4),
+                "cf_per_sec_sequential": round(b / (per_call_ms / 1e3)),
+                "dispatch_plus_relay_overhead_ms": round(
+                    (2 * timings[n] - timings[2 * n]) * 1e3, 1),
+            })
+            print(f"[latency] batch {b}: {per_call_ms:.3f} ms/call on-chip",
+                  file=sys.stderr)
+        print(json.dumps({
+            "backend": jax.default_backend(),
+            "program": "serving_cf_chained_scan",
+            "compute_dtype": args.dtype,
+            "chain_iters": n,
+            "method": "(t(2N)-t(N))/N over a data-dependent lax.scan chain; "
+                      "cancels host dispatch + network-relay RTT",
+            "results": results,
+        }, indent=1))
+        return
 
     if args.serving:
         from cfgan.serve.engine import CounterfactualEngine
