@@ -146,3 +146,105 @@ def test_house_imported_classifier_exact_committed_accuracy():
     lg = clf_model.apply(dict(clf_vars), jnp.asarray(xte), train=False)
     acc = float((np.asarray(jnp.argmax(lg, 1)) == np.asarray(yte)).mean())
     assert abs(acc - 0.7046) < 5e-5, acc
+
+
+def test_mnist_generator_import_numeric_forward_parity():
+    """Numeric pin for the CONV import path (square 3x3 kernels would let a
+    wrong permute hide behind matching shapes): the imported flax generator
+    must match the eager-torch mirror loaded with the same reference
+    state_dict, eval mode (BN running stats), to the f32 floor."""
+    import torch
+
+    from cfgan import migrate
+    from cfgan.models.generators import ImageResidualGenerator
+    from cfgan.testing.oracles import TorchMnistG
+
+    sd = torch.load(f"{REF}/mnist/results/generator.pt",
+                    map_location="cpu", weights_only=True)
+    tg = TorchMnistG(ch=64, nrb=6)
+    rename = {"embed": "emb", "conv_in": "cin", "conv_mid": "mid",
+              "conv_out": "out"}
+    tsd = {}
+    for k, v in sd.items():
+        if "num_batches_tracked" in k:
+            continue
+        if k.startswith("resblocks."):
+            _, i, layer, leaf = k.split(".")
+            short = {"conv1": "c1", "bn1": "b1", "conv2": "c2",
+                     "bn2": "b2"}[layer]
+            tsd[f"blocks.{i}.{short}.{leaf}"] = v
+        else:
+            head, leaf = k.split(".", 1)
+            tsd[f"{rename[head]}.{leaf}"] = v
+    tg.load_state_dict(tsd)
+    tg.eval()
+
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, (4, 28, 28, 1)).astype(np.float32)
+    t = np.array([3, 1, 4, 1], np.int32)
+    m = (rng.uniform(0, 1, (4, 28, 28, 1)) > 0.5).astype(np.float32)
+
+    with torch.no_grad():
+        raw_t, masked_t = tg(
+            torch.tensor(x).permute(0, 3, 1, 2), torch.tensor(t, dtype=torch.long),
+            torch.tensor(m).permute(0, 3, 1, 2))
+    g_vars = migrate.import_mnist_generator(f"{REF}/mnist/results/generator.pt")
+    raw_j, masked_j = ImageResidualGenerator().apply(
+        dict(g_vars), jnp.asarray(x), jnp.asarray(t), jnp.asarray(m),
+        train=False)
+    delta = np.abs(np.asarray(raw_j)
+                   - raw_t.permute(0, 2, 3, 1).numpy()).max()
+    assert delta < 1e-5, delta
+    delta_m = np.abs(np.asarray(masked_j)
+                     - masked_t.permute(0, 2, 3, 1).numpy()).max()
+    assert delta_m < 1e-5, delta_m
+
+
+def test_mnist_legacy_classifier_import_numeric_forward_parity():
+    """The legacy classifier import permutes the post-flatten Linear from
+    the reference's NCHW flatten order to cfgan's NHWC; logits must match
+    an eager-torch replica of the reference module exactly."""
+    import torch
+    import torch.nn.functional as F
+    from torch import nn as tnn
+
+    from cfgan import migrate
+    from cfgan.models.classifiers import LegacyCNNClassifier
+
+    sd = torch.load(f"{REF}/mnist/models/classifier.pt",
+                    map_location="cpu", weights_only=True)
+
+    class RefLegacy(tnn.Module):
+        """`mnist/modules/classifier.py:4-30` semantics: NCHW flatten."""
+
+        def __init__(self):
+            super().__init__()
+            self.c1 = tnn.Conv2d(1, 32, 3, padding=1)
+            self.c2 = tnn.Conv2d(32, 64, 3, padding=1)
+            self.f1 = tnn.Linear(64 * 7 * 7, 128)
+            self.f2 = tnn.Linear(128, 10)
+
+        def forward(self, x):
+            h = F.max_pool2d(F.relu(self.c1(x)), 2)
+            h = F.max_pool2d(F.relu(self.c2(h)), 2)
+            h = h.reshape(h.shape[0], -1)  # NCHW flatten like the reference
+            return self.f2(F.relu(self.f1(h)))
+
+    tm = RefLegacy()
+    tm.load_state_dict({
+        "c1.weight": sd["net.0.weight"], "c1.bias": sd["net.0.bias"],
+        "c2.weight": sd["net.3.weight"], "c2.bias": sd["net.3.bias"],
+        "f1.weight": sd["net.7.weight"], "f1.bias": sd["net.7.bias"],
+        "f2.weight": sd["net.9.weight"], "f2.bias": sd["net.9.bias"],
+    })
+    tm.eval()
+
+    rng = np.random.RandomState(1)
+    x = rng.uniform(-1, 1, (4, 28, 28, 1)).astype(np.float32)
+    with torch.no_grad():
+        lg_t = tm(torch.tensor(x).permute(0, 3, 1, 2)).numpy()
+    c_vars = migrate.import_mnist_legacy_classifier(
+        f"{REF}/mnist/models/classifier.pt")
+    lg_j = np.asarray(LegacyCNNClassifier().apply(dict(c_vars),
+                                                  jnp.asarray(x)))
+    assert np.abs(lg_j - lg_t).max() < 1e-5, np.abs(lg_j - lg_t).max()
