@@ -82,6 +82,22 @@ class CounterfactualEngine:
         self._serve = _serve
         self._classify = jax.jit(lambda x: jax.nn.softmax(clf_fn(x), axis=1))
 
+        @jax.jit
+        def _serve_bulk(g_vars, xs, ts, ms, key):
+            # xs/ts/ms are (n_chunks, chunk, ...); ONE dispatch scans the
+            # fused serving program over the chunks on-device — no host
+            # round-trip between chunks (measured ~149k cf/s vs the 126k
+            # dispatch-per-call knee, BASELINE.md "Serving latency")
+            def body(i, inp):
+                x, t, m = inp
+                return i + 1, _serve(g_vars, x, t, m,
+                                     jax.random.fold_in(key, i))
+
+            _, outs = jax.lax.scan(body, 0, (xs, ts, ms))
+            return outs
+
+        self._serve_bulk = _serve_bulk
+
     # ------------------------------------------------------------- inference
     def classify(self, x) -> np.ndarray:
         x = jnp.asarray(x)
@@ -160,6 +176,66 @@ class CounterfactualEngine:
             flipped=pred == np.asarray(t),
         )
         return out
+
+    def generate_bulk(self, x, target, mask=None, key=None,
+                      chunk: int = 128) -> CFResult:
+        """Offline/bulk counterfactual generation: the batch is split into
+        fixed-size chunks and ONE compiled program `lax.scan`s the fused
+        serving step over them on-device — no host dispatch between chunks,
+        which measures ~18% faster than the dispatch-per-call path at its
+        best batch (BASELINE.md "Serving latency").  Use for large queued
+        workloads (dataset-scale CF sweeps, batch exports); `generate` is
+        the low-latency interactive path.
+
+        The chunk count is padded to a power of two (rows replicate the
+        last sample and are sliced off), so compile count stays
+        O(log(max_batch/chunk)).  For the tabular family the per-chunk key
+        is `fold_in(key, chunk_index)`, so a sample's Gumbel draw depends
+        on its chunk — same distribution as `generate`, but not
+        row-for-row identical to it."""
+        x = jnp.asarray(x)
+        if x.ndim == self._sample_ndim(x):
+            x = x[None]
+        b = x.shape[0]
+        t = jnp.broadcast_to(jnp.asarray(target, jnp.int32), (b,))
+        if mask is None:
+            mask = self.default_mask(b, x.shape)
+        mask = jnp.asarray(mask, x.dtype)
+        if mask.ndim == x.ndim - 1:
+            mask = mask[None]
+        mask = jnp.broadcast_to(mask, x.shape)
+        key = key if key is not None else jax.random.key(0)
+
+        n_chunks = -(-b // chunk)
+        nc = 1
+        while nc < n_chunks:
+            nc <<= 1
+        padded = nc * chunk
+        if padded != b:
+            pad = padded - b
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], 0)
+            t = jnp.concatenate([t, jnp.repeat(t[-1:], pad, axis=0)], 0)
+            mask = jnp.concatenate(
+                [mask, jnp.repeat(mask[-1:], pad, axis=0)], 0)
+        shape = (nc, chunk) + x.shape[1:]
+        x_cf, residual, probs, probs_orig = self._serve_bulk(
+            self.g_vars, x.reshape(shape), t.reshape(nc, chunk),
+            mask.reshape(shape), key,
+        )
+        x_cf = x_cf.reshape((padded,) + x_cf.shape[2:])[:b]
+        residual = residual.reshape((padded,) + residual.shape[2:])[:b]
+        probs = probs.reshape(padded, -1)[:b]
+        probs_orig = probs_orig.reshape(padded, -1)[:b]
+        pred = np.asarray(jnp.argmax(probs, axis=1))
+        return CFResult(
+            x_cf=np.asarray(x_cf),
+            residual=np.asarray(residual),
+            pred=pred,
+            confidence=np.asarray(jnp.max(probs, axis=1)),
+            probs=np.asarray(probs),
+            probs_orig=np.asarray(probs_orig),
+            flipped=pred == np.asarray(t[:b]),
+        )
 
     # ------------------------------------------------------------- masks
     def default_mask(self, batch: int, x_shape) -> jnp.ndarray:

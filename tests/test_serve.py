@@ -420,3 +420,31 @@ def test_build_apps_wire_backends_with_stub_gradio(monkeypatch, moons_engine):
     assert len(table) == KC_SCHEMA.input_dim
     df, verdict = hdemo.bindings[1][0](3, "change the bedrooms")
     assert "abs_delta" in df.columns
+
+
+def test_generate_bulk_matches_generate(moons_engine):
+    """The scanned bulk path must produce exactly the per-dispatch path's
+    results for the deterministic families (key unused), for chunk-exact,
+    chunk-ragged and sub-chunk batch sizes."""
+    eng, xte, yte = moons_engine
+    for b, chunk in ((64, 16), (50, 16), (7, 16), (16, 16)):
+        x = xte[:b]
+        ref = eng.generate(x, target=1)
+        bulk = eng.generate_bulk(x, target=1, chunk=chunk)
+        np.testing.assert_allclose(bulk.x_cf, ref.x_cf, atol=1e-6)
+        np.testing.assert_array_equal(bulk.pred, ref.pred)
+        np.testing.assert_allclose(bulk.probs, ref.probs, atol=1e-6)
+        np.testing.assert_array_equal(bulk.flipped, ref.flipped)
+        assert bulk.x_cf.shape == (b, 2)
+
+
+def test_generate_bulk_mask_and_target_broadcast(moons_engine):
+    eng, xte, yte = moons_engine
+    x = xte[:20]
+    m = np.zeros((1, 2), np.float32)  # broadcastable zero mask
+    res = eng.generate_bulk(x, target=2, mask=m, chunk=8)
+    np.testing.assert_array_equal(res.x_cf, x)
+    t = np.arange(20) % 3
+    res2 = eng.generate_bulk(x, target=t, chunk=8)
+    ref2 = eng.generate(x, target=t)
+    np.testing.assert_array_equal(res2.pred, ref2.pred)

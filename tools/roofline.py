@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--serving", action="store_true",
                     help="analyze the fused CF serving path instead of the "
                          "train step")
+    ap.add_argument("--bulk", action="store_true",
+                    help="measure CounterfactualEngine._serve_bulk (scanned "
+                         "chunked serving) throughput, chunk=--batch")
+    ap.add_argument("--bulk-chunks", type=int, default=64,
+                    help="number of chunks in the bulk scan")
     ap.add_argument("--latency", action="store_true",
                     help="measure on-chip single-call serving latency via a "
                          "chained in-jit scan (batches 1/8/%(default)s unless "
@@ -93,6 +98,36 @@ def main():
                     .astype(np.float32))
     y = jnp.asarray(rng.randint(0, 10, args.batch).astype(np.int32))
     key = jax.random.key(0)
+
+    if args.bulk:
+        from bench import fence
+        from cfgan.serve.engine import CounterfactualEngine
+
+        engine = CounterfactualEngine.from_bundle(bundle, clf_model,
+                                                  clf_state)
+        nc, chunk = args.bulk_chunks, args.batch
+        xs = jnp.broadcast_to(x[:chunk][None], (nc, chunk, 28, 28, 1))
+        ts = jnp.broadcast_to(y[:chunk][None], (nc, chunk))
+        ms = jnp.ones((nc, chunk, 28, 28, 1), jnp.float32)
+        out = engine._serve_bulk(engine.g_vars, xs, ts, ms, key)
+        fence(out[2][0, 0, 0])
+        reps = 5
+        t0 = time.perf_counter()
+        for i in range(reps):
+            out = engine._serve_bulk(engine.g_vars, xs, ts, ms,
+                                     jax.random.fold_in(key, i))
+        fence(out[2][0, 0, 0])
+        dt = (time.perf_counter() - t0) / reps
+        print(json.dumps({
+            "backend": jax.default_backend(),
+            "program": "serve_bulk_scan",
+            "compute_dtype": args.dtype,
+            "chunk": chunk, "n_chunks": nc,
+            "samples_per_dispatch": nc * chunk,
+            "dispatch_ms": round(dt * 1e3, 2),
+            "cf_per_sec": round(nc * chunk / dt),
+        }, indent=1))
+        return
 
     if args.latency:
         from bench import fence
