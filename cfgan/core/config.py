@@ -191,6 +191,56 @@ class TabularSchema:
         cat = set(self.categorical_idx)
         return tuple(i for i in range(self.input_dim) if i not in cat)
 
+    @classmethod
+    def from_dataframe(
+        cls,
+        df,
+        immutable: tuple[str, ...] = (),
+        categorical=None,
+        max_categorical_cardinality: int = 32,
+        exclude: tuple[str, ...] = (),
+    ) -> "TabularSchema":
+        """Infer a schema from a pandas DataFrame (bring-your-own-CSV
+        convenience; the reference hand-maintains the equivalent lists in
+        `house config.py:44-79`).
+
+        Every numeric column with at most `max_categorical_cardinality`
+        distinct values becomes categorical with its observed sorted
+        values.  `categorical` overrides inference: a sequence of column
+        names (values observed from the data) or a mapping
+        name -> explicit value tuple; pass `categorical=()` to disable
+        inference entirely.  `exclude` drops columns (targets, ids).
+        """
+        from collections.abc import Mapping as ABCMapping
+
+        import numpy as np
+
+        names = tuple(c for c in df.columns if c not in exclude)
+        for f in immutable:
+            if f not in names:
+                raise ValueError(f"immutable feature {f!r} not a column")
+        cat_values: dict[str, tuple[float, ...]] = {}
+
+        def observed(col) -> tuple[float, ...]:
+            vals = np.unique(np.asarray(df[col], np.float64))
+            return tuple(float(v) for v in vals)
+
+        if categorical is None:
+            for c in names:
+                vals = np.unique(np.asarray(df[c], np.float64))
+                if len(vals) <= max_categorical_cardinality:
+                    cat_values[c] = tuple(float(v) for v in vals)
+        elif isinstance(categorical, ABCMapping):
+            cat_values = {c: tuple(float(v) for v in vs)
+                          for c, vs in categorical.items()}
+        else:
+            cat_values = {c: observed(c) for c in categorical}
+        for c in cat_values:
+            if c not in names:
+                raise ValueError(f"categorical feature {c!r} not a column")
+        return cls(feature_names=names, immutable_features=tuple(immutable),
+                   categorical_values=cat_values)
+
 
 @dataclass(frozen=True)
 class ExperimentConfig:

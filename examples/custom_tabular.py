@@ -6,7 +6,9 @@ immutables, categorical value sets) plus arrays.  This example builds a
 synthetic credit-risk dataset from scratch and runs the full promptable
 counterfactual stack on it:
 
-  1. schema + MinMax stats (fit on train only)
+  1. schema + MinMax stats (fit on train only) — built by hand here to
+     show every field; `TabularSchema.from_dataframe(df, immutable=...,
+     exclude=...)` infers one from a pandas DataFrame in one line
   2. classifier pretraining (weighted CE, plateau LR)
   3. CounteRGAN training (FiLM generator with Gumbel-Softmax categorical
      heads, spectral-norm WGAN discriminator, 4-term loss) — the same
