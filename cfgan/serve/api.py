@@ -11,6 +11,8 @@ beyond the standard library.
 Endpoints:
 
 * ``GET  /health``          -> ``{"status": "ok", "num_classes": C, ...}``
+* ``GET  /stats``           -> per-endpoint request/error/sample counts +
+  p50/p95/max latency over the last 1024 requests (thread-safe)
 * ``POST /classify``        body ``{"x": [...] | [[...]]}``
                             -> ``{"probs": [[...]], "pred": [...]}``
 * ``POST /counterfactual``  body ``{"x": ..., "target": int | [...]}`` plus
@@ -28,6 +30,7 @@ loopback by default; exposing it on all interfaces is an explicit opt-in
 from __future__ import annotations
 
 import json
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -163,6 +166,55 @@ def _handle_counterfactual(engine: CounterfactualEngine, body: dict) -> dict:
     }
 
 
+class ApiStats:
+    """Thread-safe request counters + latency quantiles for ``/stats``.
+
+    Production observability the reference's gradio-only serving lacks:
+    per-endpoint request/error counts, samples served, and p50/p95/max
+    request latency over a sliding window of the most recent requests.
+    """
+
+    WINDOW = 1024
+
+    def __init__(self):
+        import collections
+        import threading
+
+        self._lock = threading.Lock()
+        self._counts = collections.Counter()
+        self._errors = collections.Counter()
+        self._samples = collections.Counter()
+        self._lat = collections.defaultdict(
+            lambda: collections.deque(maxlen=self.WINDOW))
+        self._started = time.time()
+
+    def record(self, path: str, seconds: float, samples: int, ok: bool):
+        with self._lock:
+            self._counts[path] += 1
+            if not ok:
+                self._errors[path] += 1
+            self._samples[path] += samples
+            self._lat[path].append(seconds)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            out = {"uptime_s": round(time.time() - self._started, 1),
+                   "endpoints": {}}
+            for path in sorted(self._counts):
+                lat = sorted(self._lat[path])
+                q = (lambda p: round(
+                    lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 2)
+                ) if lat else (lambda p: None)
+                out["endpoints"][path] = {
+                    "requests": self._counts[path],
+                    "errors": self._errors[path],
+                    "samples": self._samples[path],
+                    "latency_ms": {"p50": q(0.50), "p95": q(0.95),
+                                   "max": q(1.0)},
+                }
+            return out
+
+
 class CFRequestHandler(BaseHTTPRequestHandler):
     """Routes requests to the engine attached to the server."""
 
@@ -180,6 +232,8 @@ class CFRequestHandler(BaseHTTPRequestHandler):
         self.wfile.write(data)
 
     def do_GET(self):  # noqa: N802
+        if self.path == "/stats":
+            return self._send(200, self.server.stats.snapshot())
         if self.path != "/health":
             return self._send(404, {"error": f"unknown path {self.path}"})
         eng = self.server.engine
@@ -197,16 +251,24 @@ class CFRequestHandler(BaseHTTPRequestHandler):
         handler = routes.get(self.path)
         if handler is None:
             return self._send(404, {"error": f"unknown path {self.path}"})
+        t0 = time.perf_counter()
+        samples, ok = 0, False
         try:
             length = int(self.headers.get("Content-Length", 0))
             body = json.loads(self.rfile.read(length) or b"{}")
             if not isinstance(body, dict):
                 raise ApiError("request body must be a JSON object")
-            self._send(200, handler(self.server.engine, body))
+            payload = handler(self.server.engine, body)
+            samples = len(payload.get("pred", payload.get("probs", [])))
+            ok = True
+            self._send(200, payload)
         except (ApiError, json.JSONDecodeError) as e:
             self._send(400, {"error": str(e)})
         except Exception as e:  # pragma: no cover - defensive
             self._send(500, {"error": f"{type(e).__name__}: {e}"})
+        finally:
+            self.server.stats.record(self.path, time.perf_counter() - t0,
+                                     samples, ok)
 
 
 def make_server(engine: CounterfactualEngine, host: str = "127.0.0.1",
@@ -216,6 +278,7 @@ def make_server(engine: CounterfactualEngine, host: str = "127.0.0.1",
     server = ThreadingHTTPServer((host, port), CFRequestHandler)
     server.engine = engine
     server.verbose = verbose
+    server.stats = ApiStats()
     return server
 
 

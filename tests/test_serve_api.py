@@ -294,3 +294,27 @@ def test_unknown_path_404_and_bad_json_400(api):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 400
+
+
+def test_stats_endpoint_counts_and_latency(api):
+    """/stats reports per-endpoint request/error/sample counters and
+    latency quantiles; counters move with traffic (own-traffic deltas only
+    — the module-scoped server has seen other tests' requests)."""
+    engine, base, xte = api
+    _, before = _get(base, "/stats")
+    b_cf = before["endpoints"].get("/counterfactual",
+                                   {"requests": 0, "errors": 0,
+                                    "samples": 0})
+    _post(base, "/counterfactual", {"x": xte[:3].tolist(), "target": 1})
+    _post(base, "/counterfactual", {"x": "garbage", "target": 1})  # 400
+    _post(base, "/classify", {"x": xte[:2].tolist()})
+    status, after = _get(base, "/stats")
+    assert status == 200
+    assert after["uptime_s"] >= 0
+    a_cf = after["endpoints"]["/counterfactual"]
+    assert a_cf["requests"] == b_cf["requests"] + 2
+    assert a_cf["errors"] == b_cf["errors"] + 1
+    assert a_cf["samples"] == b_cf["samples"] + 3
+    lat = a_cf["latency_ms"]
+    assert lat["p50"] is not None and lat["p50"] <= lat["max"]
+    assert after["endpoints"]["/classify"]["requests"] >= 1
