@@ -108,17 +108,23 @@ def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
             checkpoint_dir=os.path.join(out_dir, "train_state"),
             checkpoint_every=max(1, cfg.countergan.epochs // 4),
         )
-        from cfgan.train.state import g_eval_variables
+        from cfgan.train.builders import g_serving_variables
 
-        # persist the variables eval/serving should use: EMA params when
-        # the default recipe's per-step generator EMA is on
-        ckpt.save(gen_dir, g_eval_variables(state))
+        # persist the variables eval/serving should use: when the default
+        # recipe's per-step generator EMA is on, that is the EMA params
+        # with BN stats RECALIBRATED under them (make_bn_recalibrator —
+        # EMA params + live-stats pairing collapses unlucky seeds)
+        g_vars = g_serving_variables(
+            bundle, state, xtr,
+            jax.random.fold_in(jax.random.key(cfg.seed), 777),
+        )
+        ckpt.save(gen_dir, g_vars)
         plot_loss_curves(history, os.path.join(out_dir, "gan_losses.png"))
 
     # ---- stage 3: evaluation pipeline (mnist/eval_utils.py:572-647) ----
-    from cfgan.train.state import g_eval_variables as _gev
-
-    g_vars = _gev(state)
+    # `g_vars` is the served variable set from either branch above: the
+    # checkpointed (already-recalibrated) variables when loaded, or the
+    # freshly computed g_serving_variables when trained this run.
     clf_vars = clf_state.variables()
 
     def clf_fn(x):
@@ -219,6 +225,7 @@ def main():
     ap.add_argument("--limit", type=int, default=None,
                     help="truncate the dataset (smoke runs)")
     ap.add_argument("--out-dir", type=str, default=None)
+    ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--legacy", action="store_true",
                     help="superseded delta-generator stack with a fixed "
@@ -234,6 +241,8 @@ def main():
     if args.clf_epochs is not None:
         cfg = cfg.replace(classifier=cfg_replace(cfg.classifier,
                                                  epochs=args.clf_epochs))
+    if args.seed is not None:
+        cfg = cfg.replace(seed=args.seed)
     run(cfg, out_dir=args.out_dir, fresh=args.fresh, limit=args.limit,
         legacy_delta=args.legacy)
 

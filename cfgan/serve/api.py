@@ -261,14 +261,17 @@ class CFRequestHandler(BaseHTTPRequestHandler):
             payload = handler(self.server.engine, body)
             samples = len(payload.get("pred", payload.get("probs", [])))
             ok = True
-            self._send(200, payload)
+            out = (200, payload)
         except (ApiError, json.JSONDecodeError) as e:
-            self._send(400, {"error": str(e)})
+            out = (400, {"error": str(e)})
         except Exception as e:  # pragma: no cover - defensive
-            self._send(500, {"error": f"{type(e).__name__}: {e}"})
-        finally:
-            self.server.stats.record(self.path, time.perf_counter() - t0,
-                                     samples, ok)
+            out = (500, {"error": f"{type(e).__name__}: {e}"})
+        # record BEFORE sending: a client that has received its response is
+        # guaranteed to see the request reflected in a subsequent /stats
+        # (recording after _send races exactly that read pattern)
+        self.server.stats.record(self.path, time.perf_counter() - t0,
+                                 samples, ok)
+        self._send(*out)
 
 
 def make_server(engine: CounterfactualEngine, host: str = "127.0.0.1",

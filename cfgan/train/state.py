@@ -54,7 +54,12 @@ class GANState:
 def g_eval_variables(state: "GANState") -> dict:
     """Generator variables for eval/serving: the EMA params when the state
     carries them (CounterGANConfig.ema_decay > 0), the live params
-    otherwise.  BN/spectral stats are always the live collections."""
+    otherwise.  BN/spectral stats are the live collections — for
+    BatchNorm-carrying generators with EMA on, prefer
+    `cfgan.train.builders.g_serving_variables`, which recalibrates the
+    running stats under the EMA params (pairing EMA params with
+    live-params stats mis-normalizes BN and can collapse eval quality;
+    see make_bn_recalibrator)."""
     params = state.g_ema if state.g_ema is not None else state.g.params
     return {"params": params, **state.g.stats}
 

@@ -448,3 +448,19 @@ def test_generate_bulk_mask_and_target_broadcast(moons_engine):
     res2 = eng.generate_bulk(x, target=t, chunk=8)
     ref2 = eng.generate(x, target=t)
     np.testing.assert_array_equal(res2.pred, ref2.pred)
+
+
+def test_generate_bulk_tabular_defaults_and_immutables():
+    """Bulk path on a tabular engine: the default mask zeroes immutables,
+    chunk-ragged batches work, and results match generate() for this
+    key-independent cf_fn."""
+    eng, stats = _tabular_engine()
+    rng = np.random.RandomState(3)
+    x = rng.uniform(0, 1, (37, KC_SCHEMA.input_dim)).astype(np.float32)
+    ref = eng.generate(x, target=2)
+    bulk = eng.generate_bulk(x, target=2, chunk=16)
+    np.testing.assert_allclose(bulk.x_cf, ref.x_cf, atol=1e-6)
+    np.testing.assert_array_equal(bulk.pred, ref.pred)
+    # immutables untouched under the default mask
+    for i in KC_SCHEMA.immutable_idx:
+        np.testing.assert_array_equal(bulk.x_cf[:, i], x[:, i])

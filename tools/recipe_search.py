@@ -118,9 +118,14 @@ def main():
                 bundle, xtr, ytr, epochs=gcfg.epochs,
                 batch_size=cfg.data.batch_size, seed=seed, log_every=0,
             )
-            from cfgan.train.state import g_eval_variables
+            from cfgan.train.builders import g_serving_variables
 
-            g_vars = g_eval_variables(state)  # EMA params when carried
+            # EMA params when carried, with BN stats recalibrated under
+            # them (EMA params + live-stats pairing collapses unlucky
+            # seeds — make_bn_recalibrator)
+            g_vars = g_serving_variables(
+                bundle, state, xtr, jax.random.fold_in(jax.random.key(seed),
+                                                       777))
             clf_vars = clf_state.variables()
 
             def clf_fn(x):
