@@ -108,17 +108,27 @@ def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
             checkpoint_dir=os.path.join(out_dir, "train_state"),
             checkpoint_every=max(1, cfg.countergan.epochs // 4),
         )
-        from cfgan.train.builders import g_serving_variables
+        from cfgan.train.builders import select_g_serving_variables
 
-        # persist the variables eval/serving should use: when the default
-        # recipe's per-step generator EMA is on, that is the EMA params
-        # with BN stats RECALIBRATED under them (make_bn_recalibrator —
-        # EMA params + live-stats pairing collapses unlucky seeds)
-        g_vars = g_serving_variables(
+        # persist the variables eval/serving should use.  With the default
+        # recipe's per-step generator EMA on, the candidates are live
+        # params / EMA + BN stats recalibrated under training masks / EMA
+        # + stats recalibrated under all-ones masks — which wins is
+        # seed-dependent, so score all three on the VALIDATION split and
+        # ship the best (select_g_serving_variables; EMA-less recipes
+        # pass straight through)
+        def _clf_val(x):
+            return clf_model.apply(clf_state.variables(), x, train=False)
+
+        g_vars, sel_info = select_g_serving_variables(
             bundle, state, xtr,
             jax.random.fold_in(jax.random.key(cfg.seed), 777),
+            xva, yva, _clf_val,
         )
-        ckpt.save(gen_dir, g_vars)
+        if sel_info["scores"]:
+            print(f"Serving candidate: {sel_info['candidate']} "
+                  f"(validation scores: {sel_info['scores']})")
+        ckpt.save(gen_dir, g_vars, metadata={"serving_selection": sel_info})
         plot_loss_curves(history, os.path.join(out_dir, "gan_losses.png"))
 
     # ---- stage 3: evaluation pipeline (mnist/eval_utils.py:572-647) ----

@@ -84,11 +84,20 @@ def run(cfg=MOONS_COUNTERGAN, out_dir: str | None = None, fresh: bool = False):
             checkpoint_dir=os.path.join(out_dir, "train_state"),
             checkpoint_every=max(1, cfg.countergan.epochs // 4),
         )
-        ckpt.save(gen_dir, state.g.variables())
+        from cfgan.train.builders import g_serving_variables
+
+        # live vars for the (EMA-less) preset; EMA params + recalibrated BN
+        # stats if the config enables ema_decay (make_bn_recalibrator)
+        g_vars = g_serving_variables(
+            bundle, state, xtr,
+            jax.random.fold_in(jax.random.key(cfg.seed), 777),
+        )
+        ckpt.save(gen_dir, g_vars)
         plot_loss_curves(history, os.path.join(out_dir, "loss_curves.png"))
 
     # ---- stage 3: evaluation (moons/eval_utils.py:227-268) ----
-    g_vars = state.g.variables()
+    # `g_vars` comes from either branch above (checkpointed served set, or
+    # freshly computed g_serving_variables)
 
     def clf_fn(x):
         return clf_model.apply(clf_state.variables(), x, train=False)
@@ -147,11 +156,14 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--clf-steps", type=int, default=None)
     ap.add_argument("--out-dir", type=str, default=None)
+    ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--fresh", action="store_true")
     args = ap.parse_args()
     from cfgan.core.config import replace as cfg_replace
 
     cfg = MOONS_COUNTERGAN
+    if args.seed is not None:
+        cfg = cfg.replace(seed=args.seed)
     if args.epochs is not None:
         cfg = cfg.replace(countergan=cfg_replace(cfg.countergan, epochs=args.epochs))
     if args.clf_steps is not None:

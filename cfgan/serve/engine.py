@@ -264,13 +264,27 @@ class CounterfactualEngine:
 
     # ------------------------------------------------------------- loading
     @classmethod
-    def from_bundle(cls, bundle, clf_model, clf_state, state=None, **kw):
+    def from_bundle(cls, bundle, clf_model, clf_state, state=None,
+                    g_variables=None, **kw):
+        """Engine from a live training bundle.  For EMA-carrying states
+        (CounterGANConfig.ema_decay > 0) the caller must pass
+        `g_variables` from `cfgan.train.builders.g_serving_variables` —
+        serving live params would ignore the EMA, and serving EMA params
+        against live BN stats mis-normalizes (make_bn_recalibrator)."""
         state = state if state is not None else bundle.state
+        if g_variables is None:
+            if getattr(state, "g_ema", None) is not None:
+                raise ValueError(
+                    "state carries generator EMA params; pass g_variables="
+                    "g_serving_variables(bundle, state, x_train, key) so the"
+                    " BN stats are recalibrated under them"
+                )
+            g_variables = state.g.variables()
         clf_vars = clf_state.variables()
         return cls(
             bundle.cf_fn,
             lambda x: clf_model.apply(clf_vars, x, train=False),
-            state.g.variables(),
+            g_variables,
             bundle.num_classes,
             **kw,
         )

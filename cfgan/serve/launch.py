@@ -42,7 +42,10 @@ def setup_mnist(results_dir: str):
     bundle = build_mnist_countergan(cfg.countergan, clf_model, clf_state)
     g_state = _load_net(os.path.join(results_dir, "generator"),
                         bundle.state.g.variables())
-    bundle.state = bundle.state.replace(g=g_state)
+    # the generator checkpoint holds the SERVED variable set (EMA
+    # params + recalibrated BN stats when the recipe carries EMA) —
+    # clear g_ema so from_bundle serves exactly what was restored
+    bundle.state = bundle.state.replace(g=g_state, g_ema=None)
     engine = CounterfactualEngine.from_bundle(
         bundle, clf_model, clf_state,
         patch_size=cfg.countergan.mask.patch_size,
@@ -76,7 +79,10 @@ def setup_house(results_dir: str):
                                       schema, stats)
     g_state = _load_net(os.path.join(results_dir, "generator"),
                         bundle.state.g.variables())
-    bundle.state = bundle.state.replace(g=g_state)
+    # the generator checkpoint holds the SERVED variable set (EMA
+    # params + recalibrated BN stats when the recipe carries EMA) —
+    # clear g_ema so from_bundle serves exactly what was restored
+    bundle.state = bundle.state.replace(g=g_state, g_ema=None)
     engine = CounterfactualEngine.from_bundle(
         bundle, clf_model, clf_state, schema=schema, stats=stats,
     )
@@ -105,7 +111,10 @@ def setup_moons(results_dir: str):
     bundle = build_moons_countergan(cfg.countergan, clf_model, clf_state)
     g_state = _load_net(os.path.join(results_dir, "generator"),
                         bundle.state.g.variables())
-    bundle.state = bundle.state.replace(g=g_state)
+    # the generator checkpoint holds the SERVED variable set (EMA
+    # params + recalibrated BN stats when the recipe carries EMA) —
+    # clear g_ema so from_bundle serves exactly what was restored
+    bundle.state = bundle.state.replace(g=g_state, g_ema=None)
     engine = CounterfactualEngine.from_bundle(bundle, clf_model, clf_state)
 
     clf_vars = clf_state.variables()

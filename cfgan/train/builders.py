@@ -104,18 +104,22 @@ def make_bn_recalibrator(g_forward, mask_sampler, num_classes: int):
     eval-mode counterfactual quality (seed 46: per-target flip floor 0.20
     with live stats vs 0.98 recalibrated; RESULTS.md).
 
-    Returns `recal_fn(params, stats, x, key, *, steps=200, batch_size=128)`:
-    one compiled `lax.scan` of train-mode forward passes under `params`,
-    sampling batches/targets/masks from the SAME distributions the training
-    step uses (`mask_sampler`), chaining the running stats through the scan.
-    With torch-momentum 0.1 the stats' memory of their starting point decays
-    by 0.9^steps (~7e-10 at 200 steps), so initialization is irrelevant.
-    Cost: `steps` generator forwards — a fraction of one training epoch.
+    Returns `recal_fn(params, stats, x, key, *, steps=200, batch_size=128,
+    mask_mode="train")`: one compiled `lax.scan` of train-mode forward
+    passes under `params`, sampling batches/targets from the training
+    distributions and masks per `mask_mode` — `"train"` draws from the
+    training `mask_sampler`, `"ones"` uses all-ones masks (the headline
+    eval/serving protocol; which distribution yields the better serving
+    stats is seed-dependent, so `select_g_serving_variables` scores both).
+    Running stats chain through the scan; with torch-momentum 0.1 their
+    memory of the starting point decays by 0.9^steps (~7e-10 at 200), so
+    initialization is irrelevant.  Cost: `steps` generator forwards — a
+    fraction of one training epoch.
     """
 
-    @partial(jax.jit, static_argnames=("steps", "batch_size"))
+    @partial(jax.jit, static_argnames=("steps", "batch_size", "mask_mode"))
     def recal_fn(params, stats, x, key, *, steps: int = 200,
-                 batch_size: int = 128):
+                 batch_size: int = 128, mask_mode: str = "train"):
         n = x.shape[0]
 
         def body(carry, k):
@@ -124,7 +128,8 @@ def make_bn_recalibrator(g_forward, mask_sampler, num_classes: int):
             xb = x[idx]
             t = jax.random.randint(kt, (batch_size,), 0, num_classes)
             t_oh = jax.nn.one_hot(t, num_classes, dtype=xb.dtype)
-            mask = mask_sampler(km, xb)
+            mask = (mask_sampler(km, xb) if mask_mode == "train"
+                    else jnp.ones_like(xb))
             _, new = g_forward(params, carry, xb, t, t_oh, mask, kg)
             return {**carry, **new}, jnp.zeros(())
 
@@ -151,6 +156,62 @@ def g_serving_variables(bundle: "CounterGANBundle", state: GANState, x, key,
     stats = bundle.recal_fn(state.g_ema, dict(state.g.stats), jnp.asarray(x),
                             key, steps=steps, batch_size=batch_size)
     return {"params": state.g_ema, **stats}
+
+
+def select_g_serving_variables(bundle: "CounterGANBundle", state: GANState,
+                               x_recal, key, xva, yva, clf_fn,
+                               *, batch_size: int = 1024):
+    """Validation-scored serving-candidate selection for EMA recipes.
+
+    Which end-of-training generator serves best is seed-dependent: the live
+    params, the EMA params with BN stats recalibrated under the training
+    mask distribution, or the EMA params recalibrated under all-ones masks
+    (measured spread on the MNIST default recipe: each of the three wins on
+    at least one seed, and the validation ranking matched the test ranking
+    on every seed studied — RESULTS.md).  Scores each candidate's
+    per-target flip sweep (all-ones mask, the headline protocol) on the
+    VALIDATION split and returns `(g_variables, info)` for the best by
+    worst-target flip (mean flip tie-break); `info` records the chosen
+    candidate and all scores for the run's metadata.
+
+    Falls back to live params + live stats (no scoring) when the state
+    carries no EMA."""
+    if state.g_ema is None:
+        return ({"params": state.g.params, **state.g.stats},
+                {"candidate": "live", "scores": {}})
+    import numpy as np
+
+    from cfgan.eval.metrics import make_per_target_sweep, per_target_metrics
+
+    k_recal, k_eval = jax.random.split(key)
+    x_recal = jnp.asarray(x_recal)
+    candidates = {"live": {"params": state.g.params, **state.g.stats}}
+    for mode in ("train", "ones"):
+        stats = bundle.recal_fn(state.g_ema, dict(state.g.stats), x_recal,
+                                k_recal, mask_mode=mode)
+        candidates[f"ema_recal_{mode}"] = {"params": state.g_ema, **stats}
+
+    sweep = make_per_target_sweep(
+        bundle.cf_fn, clf_fn, bundle.num_classes,
+        exclude_same_class=False,
+        pred_gain_mode="cf_target_minus_cf_true",
+        actionability_mode="x_cf_minus_x",
+    )
+    feat_shape = tuple(np.asarray(xva).shape[1:])
+    scores = {}
+    for name, gv in candidates.items():
+        df = per_target_metrics(
+            sweep, gv, xva, yva,
+            mask_fn=lambda b: jnp.ones((b, *feat_shape), jnp.float32),
+            key=k_eval, num_classes=bundle.num_classes,
+            batch_size=batch_size,
+        )
+        flips = df["class_flip_rate"].to_numpy()
+        scores[name] = {"worst_flip": round(float(np.nanmin(flips)), 6),
+                        "mean_flip": round(float(np.nanmean(flips)), 6)}
+    best = max(scores, key=lambda n: (scores[n]["worst_flip"],
+                                      scores[n]["mean_flip"]))
+    return candidates[best], {"candidate": best, "scores": scores}
 
 
 def _clf_forward_fn(clf_model, clf_vars, compute_dtype: str):

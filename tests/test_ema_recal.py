@@ -117,6 +117,38 @@ def test_g_serving_variables_recalibrates_under_ema():
     assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
 
 
+def test_selection_scores_candidates_and_returns_best():
+    from cfgan.train.builders import select_g_serving_variables
+
+    cfg, b = _tiny_bundle()
+    state = _few_steps(b)
+    rng = np.random.RandomState(11)
+    xtr = rng.uniform(-1, 1, (64, 28, 28, 1)).astype(np.float32)
+    xva = rng.uniform(-1, 1, (32, 28, 28, 1)).astype(np.float32)
+    yva = rng.randint(0, 10, 32)
+
+    # a deliberately simple "classifier": logits from mean pixel buckets so
+    # the sweep is cheap and deterministic
+    def clf_fn(x):
+        m = jnp.mean(x, axis=(1, 2, 3), keepdims=False)
+        return jnp.stack([m * (i + 1) for i in range(10)], axis=1)
+
+    gv, info = select_g_serving_variables(
+        b, state, xtr, jax.random.key(2), xva, yva, clf_fn, batch_size=32)
+    assert set(info["scores"]) == {"live", "ema_recal_train",
+                                   "ema_recal_ones"}
+    best = max(info["scores"],
+               key=lambda n: (info["scores"][n]["worst_flip"],
+                              info["scores"][n]["mean_flip"]))
+    assert info["candidate"] == best
+    expect_params = (state.g.params if best == "live" else state.g_ema)
+    jax.tree_util.tree_map(
+        lambda a, e: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(e)),
+        gv["params"], expect_params,
+    )
+
+
 def test_g_serving_variables_identity_without_ema():
     _, b = _tiny_bundle(ema_decay=0.0)
     state = _few_steps(b)

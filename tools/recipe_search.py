@@ -118,18 +118,20 @@ def main():
                 bundle, xtr, ytr, epochs=gcfg.epochs,
                 batch_size=cfg.data.batch_size, seed=seed, log_every=0,
             )
-            from cfgan.train.builders import g_serving_variables
+            from cfgan.train.builders import select_g_serving_variables
 
-            # EMA params when carried, with BN stats recalibrated under
-            # them (EMA params + live-stats pairing collapses unlucky
-            # seeds — make_bn_recalibrator)
-            g_vars = g_serving_variables(
-                bundle, state, xtr, jax.random.fold_in(jax.random.key(seed),
-                                                       777))
             clf_vars = clf_state.variables()
 
             def clf_fn(x):
                 return clf_model.apply(clf_vars, x, train=False)
+
+            # same serving-candidate selection the experiment ships:
+            # {live, EMA+recal(train-masks), EMA+recal(ones)} scored by
+            # validation worst-target flip (see builders docstrings)
+            g_vars, sel_info = select_g_serving_variables(
+                bundle, state, xtr,
+                jax.random.fold_in(jax.random.key(seed), 777),
+                xva, yva, clf_fn)
 
             sweep = make_per_target_sweep(
                 bundle.cf_fn, clf_fn, cfg.num_classes,
@@ -151,6 +153,7 @@ def main():
                 "worst_target": int(np.argmin(flips)),
                 "mean_flip": round(float(np.mean(flips)), 4),
                 "per_target": [round(float(f), 4) for f in flips],
+                "serving_selection": sel_info,
                 "train_s": round(time.time() - t0, 1),
             }
             rows.append(row)
