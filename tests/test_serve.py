@@ -464,3 +464,26 @@ def test_generate_bulk_tabular_defaults_and_immutables():
     # immutables untouched under the default mask
     for i in KC_SCHEMA.immutable_idx:
         np.testing.assert_array_equal(bulk.x_cf[:, i], x[:, i])
+
+
+def test_launch_setup_moons_restores_served_checkpoints(tmp_path):
+    """serve.launch.setup_moons restores classifier+generator checkpoints
+    into a working engine (covers the g_ema-clearing restore path)."""
+    from cfgan.core import checkpoint as ckpt
+    from cfgan.experiments.presets import MOONS_COUNTERGAN as cfg
+    from cfgan.serve.launch import setup_moons
+    from cfgan.train.state import NetState, adam_like_torch
+
+    clf_model = MLPClassifier(hidden_dim=cfg.classifier.hidden_dim)
+    clf_state = NetState.create(
+        clf_model.init(jax.random.key(0), jnp.zeros((2, 2))),
+        adam_like_torch(1e-3),
+    )
+    bundle = build_moons_countergan(cfg.countergan, clf_model, clf_state)
+    ckpt.save(str(tmp_path / "classifier"), clf_state.variables())
+    ckpt.save(str(tmp_path / "generator"), bundle.state.g.variables())
+
+    engine, clf_fn, xte, yte = setup_moons(str(tmp_path))
+    res = engine.generate(np.asarray(xte[:4]), target=1)
+    assert res.x_cf.shape == (4, 2)
+    assert clf_fn(jnp.asarray(xte[:4])).shape == (4, 3)
