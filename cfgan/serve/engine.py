@@ -97,6 +97,43 @@ class CounterfactualEngine:
             return outs
 
         self._serve_bulk = _serve_bulk
+        self._mesh = None
+        self._shard_n = 1
+        self._batch_sharding = None
+
+    # --------------------------------------------------------- parallelism
+    def shard(self, mesh, axis: str | None = None):
+        """Enable data-parallel serving over a `jax.sharding.Mesh`
+        (capability uplift over the single-device reference, SURVEY.md
+        section 2.9): request batches are laid out along `axis` (first
+        mesh axis by default), generator/classifier variables are
+        replicated, and the SAME jitted serving programs then run SPMD —
+        XLA partitions the fused forward across devices with no code
+        changes (collectives ride ICI; per-row independence means there
+        are none on the hot path).  Batch padding is raised to a multiple
+        of the axis size so shards stay equal.  Returns self."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = axis or mesh.axis_names[0]
+        self._mesh = mesh
+        self._shard_n = mesh.shape[axis]
+        self._batch_sharding = NamedSharding(mesh, PartitionSpec(axis))
+        self.g_vars = jax.device_put(
+            self.g_vars, NamedSharding(mesh, PartitionSpec()))
+        return self
+
+    def _place(self, x, t, mask):
+        """Lay sharded-serving inputs out along the mesh batch axis."""
+        if self._mesh is None:
+            return x, t, mask
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def put(a):
+            spec = PartitionSpec(*([self._batch_sharding.spec[0]]
+                                   + [None] * (a.ndim - 1)))
+            return jax.device_put(a, NamedSharding(self._mesh, spec))
+
+        return put(x), put(t), put(mask)
 
     # ------------------------------------------------------------- inference
     def classify(self, x) -> np.ndarray:
@@ -151,6 +188,8 @@ class CounterfactualEngine:
         mask = jnp.broadcast_to(mask, x.shape)
         key = key if key is not None else jax.random.key(0)
         nb = self._bucket(b) if self.pad_to_bucket else b
+        if self._shard_n > 1:  # equal shards on the mesh batch axis
+            nb = -(-nb // self._shard_n) * self._shard_n
         if nb != b:
             pad = nb - b
             x_in = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], 0)
@@ -159,6 +198,7 @@ class CounterfactualEngine:
                 [mask, jnp.repeat(mask[-1:], pad, axis=0)], 0)
         else:
             x_in, t_in, m_in = x, t, mask
+        x_in, t_in, m_in = self._place(x_in, t_in, m_in)
         x_cf, residual, probs, probs_orig = self._serve(
             self.g_vars, x_in, t_in, m_in, key
         )
@@ -218,9 +258,27 @@ class CounterfactualEngine:
             mask = jnp.concatenate(
                 [mask, jnp.repeat(mask[-1:], pad, axis=0)], 0)
         shape = (nc, chunk) + x.shape[1:]
+        xs, ts, ms = (x.reshape(shape), t.reshape(nc, chunk),
+                      mask.reshape(shape))
+        if self._shard_n > 1:
+            # scan iterates chunks sequentially; each CHUNK is sharded over
+            # the mesh batch axis (dim 1).  chunk must split evenly.
+            if chunk % self._shard_n:
+                raise ValueError(
+                    f"bulk chunk size {chunk} must be a multiple of the "
+                    f"mesh batch-axis size {self._shard_n}"
+                )
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            ax = self._batch_sharding.spec[0]
+
+            def put(a):
+                spec = PartitionSpec(*([None, ax] + [None] * (a.ndim - 2)))
+                return jax.device_put(a, NamedSharding(self._mesh, spec))
+
+            xs, ts, ms = put(xs), put(ts), put(ms)
         x_cf, residual, probs, probs_orig = self._serve_bulk(
-            self.g_vars, x.reshape(shape), t.reshape(nc, chunk),
-            mask.reshape(shape), key,
+            self.g_vars, xs, ts, ms, key,
         )
         x_cf = x_cf.reshape((padded,) + x_cf.shape[2:])[:b]
         residual = residual.reshape((padded,) + residual.shape[2:])[:b]
