@@ -152,6 +152,9 @@ def main():
     )
     ap.add_argument("--port", type=int, default=8000,
                     help="API port (only with --api)")
+    ap.add_argument("--shard", action="store_true",
+                    help="data-parallel serving over all local devices "
+                    "(engine.shard on a 1-D mesh; only with --api)")
     args = ap.parse_args()
     default = {"mnist": "results/mnist_countergan",
                "house": "results/house_countergan",
@@ -162,6 +165,10 @@ def main():
 
         engine = {"mnist": setup_mnist, "house": setup_house,
                   "moons": setup_moons}[args.app](results)[0]
+        if args.shard:
+            from cfgan.parallel.mesh import create_mesh
+
+            engine = engine.shard(create_mesh())
         api_serve(engine, args.host, args.port)
         return
     {"mnist": launch_mnist, "house": launch_house,
