@@ -68,6 +68,12 @@ class MaskConfig:
     patch_size: int = 7
     num_modifiable_patches: int | None = 10  # None => iid Bernoulli(0.5)
     immutable_idx: tuple[int, ...] = ()
+    # fraction of TRAINING samples whose mask is replaced by all-ones
+    # (capability knob, default off = reference-exact distribution): the
+    # headline eval/serving protocol is all-ones masks while reference
+    # training only ever sees partial masks — mixing a few all-ones
+    # samples in narrows that train/serve distribution gap
+    ones_fraction: float = 0.0
 
 
 @dataclass(frozen=True)

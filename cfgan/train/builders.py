@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from cfgan.core.config import CounterGANConfig, TabularSchema
-from cfgan.masks.feature import random_feature_mask
+from cfgan.masks.feature import immutable_complement_mask, random_feature_mask
 from cfgan.masks.patch import random_patch_mask
 from cfgan.models.classifiers import CNNClassifier, MLPClassifier, TabularClassifier
 from cfgan.models.discriminators import (
@@ -231,6 +231,25 @@ def _clf_forward_fn(clf_model, clf_vars, compute_dtype: str):
     return clf_forward
 
 
+def _with_ones_fraction(mask_sampler, frac: float, full_mask_fn=None):
+    """Replace each training sample's mask with the 'fully modifiable' mask
+    (all-ones, or the family's serving-default via `full_mask_fn`) with
+    probability `frac` (`MaskConfig.ones_fraction`).  Identity at 0.0 —
+    the reference-exact distribution."""
+    if not frac:
+        return mask_sampler
+    full = full_mask_fn or (lambda x: jnp.ones_like(x))
+
+    def sampler(key, x):
+        k1, k2 = jax.random.split(key)
+        m = mask_sampler(k1, x)
+        pick = jax.random.bernoulli(k2, frac, (x.shape[0],))
+        return jnp.where(pick.reshape((-1,) + (1,) * (m.ndim - 1)),
+                         full(x).astype(m.dtype), m)
+
+    return sampler
+
+
 def _init_state(g_model, d_model, g_inputs, d_inputs, cfg, key):
     kg, kd = jax.random.split(key)
     g_vars = g_model.init({"params": kg, "gumbel": kg}, *g_inputs, train=False)
@@ -293,8 +312,13 @@ def build_moons_countergan(
     d_forward = make_mixed_precision(d_forward, cfg.compute_dtype)
     clf_forward = _clf_forward_fn(clf_model, clf_vars, cfg.compute_dtype)
 
-    mask_sampler = lambda key, x: random_feature_mask(
-        key, x.shape[0], x.shape[1], cfg.mask.immutable_idx
+    mask_sampler = _with_ones_fraction(
+        lambda key, x: random_feature_mask(
+            key, x.shape[0], x.shape[1], cfg.mask.immutable_idx
+        ),
+        cfg.mask.ones_fraction,
+        lambda x: immutable_complement_mask(x.shape[0], x.shape[1],
+                                            cfg.mask.immutable_idx),
     )
 
     step_fn = make_countergan_step(
@@ -383,13 +407,16 @@ def build_mnist_countergan(
     if legacy_delta:
         mask_sampler = lambda key, x: jnp.ones_like(x)  # no masks in legacy
     else:
-        mask_sampler = lambda key, x: random_patch_mask(
-            key,
-            x.shape[0],
-            image_hw,
-            cfg.mask.patch_size,
-            cfg.mask.num_modifiable_patches,
-            channels=x.shape[-1],
+        mask_sampler = _with_ones_fraction(
+            lambda key, x: random_patch_mask(
+                key,
+                x.shape[0],
+                image_hw,
+                cfg.mask.patch_size,
+                cfg.mask.num_modifiable_patches,
+                channels=x.shape[-1],
+            ),
+            cfg.mask.ones_fraction,
         )
 
     step_fn = make_countergan_step(
@@ -497,8 +524,13 @@ def build_tabular_countergan(
     d_forward = make_mixed_precision(d_forward, cfg.compute_dtype)
     clf_forward = _clf_forward_fn(clf_model, clf_vars, cfg.compute_dtype)
 
-    mask_sampler = lambda key, x: random_feature_mask(
-        key, x.shape[0], x.shape[1], schema.immutable_idx
+    mask_sampler = _with_ones_fraction(
+        lambda key, x: random_feature_mask(
+            key, x.shape[0], x.shape[1], schema.immutable_idx
+        ),
+        cfg.mask.ones_fraction,
+        lambda x: immutable_complement_mask(x.shape[0], x.shape[1],
+                                            schema.immutable_idx),
     )
 
     step_fn = make_countergan_step(

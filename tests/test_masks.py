@@ -96,3 +96,33 @@ def test_random_patch_mask_full_budget_is_all_ones():
     assert float(m.min()) == 1.0
     m = random_patch_mask(jax.random.key(0), 3, (28, 28), 7, 99)
     assert float(m.min()) == 1.0
+
+
+def test_ones_fraction_mask_mixing():
+    """MaskConfig.ones_fraction: per-sample replacement of the training mask
+    by the family's fully-modifiable mask; identity at 0.0."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfgan.train.builders import _with_ones_fraction
+
+    base = lambda key, x: jnp.zeros_like(x)  # degenerate base for contrast
+    x = jnp.ones((64, 5))
+    key = jax.random.key(0)
+
+    assert _with_ones_fraction(base, 0.0) is base  # identity, no wrapping
+
+    m_all = _with_ones_fraction(base, 1.0)(key, x)
+    np.testing.assert_array_equal(np.asarray(m_all), np.ones((64, 5)))
+
+    full = lambda xx: jnp.concatenate(
+        [jnp.zeros((xx.shape[0], 1)), jnp.ones((xx.shape[0], 4))], axis=1)
+    m_imm = _with_ones_fraction(base, 1.0, full)(key, x)
+    np.testing.assert_array_equal(np.asarray(m_imm[:, 0]), np.zeros(64))
+    np.testing.assert_array_equal(np.asarray(m_imm[:, 1:]), np.ones((64, 4)))
+
+    m_half = np.asarray(_with_ones_fraction(base, 0.5)(key, x))
+    rows = m_half.sum(axis=1)
+    assert set(np.unique(rows)) == {0.0, 5.0}  # whole-row replacement
+    assert 10 < (rows == 5.0).sum() < 54  # ~Bernoulli(0.5) of 64
