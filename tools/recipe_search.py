@@ -39,6 +39,14 @@ RECIPES = {
     # the winning f32 recipe under the framework-default bf16 policy
     "cls2_ema_bf16": {"lambda_cls": 2.0, "ema_decay": 0.999,
                       "compute_dtype": "bfloat16"},
+    # + all-ones masks mixed into training (MaskConfig.ones_fraction):
+    # narrows the patch-mask-train vs all-ones-eval distribution gap
+    "cls2_ema_bf16_mix10": {"lambda_cls": 2.0, "ema_decay": 0.999,
+                            "compute_dtype": "bfloat16",
+                            "mask_ones_fraction": 0.1},
+    "cls2_ema_bf16_mix25": {"lambda_cls": 2.0, "ema_decay": 0.999,
+                            "compute_dtype": "bfloat16",
+                            "mask_ones_fraction": 0.25},
 }
 
 
@@ -104,8 +112,14 @@ def main():
     rows = []
     for name in names:
         over = dict(RECIPES[name])
+        # "mask_*" keys override the nested MaskConfig
+        mask_over = {k[len("mask_"):]: over.pop(k)
+                     for k in [k for k in over if k.startswith("mask_")]}
         for seed in seeds:
             gcfg = cfg_replace(cfg.countergan, **over)
+            if mask_over:
+                gcfg = cfg_replace(gcfg,
+                                   mask=cfg_replace(gcfg.mask, **mask_over))
             if args.smoke:
                 gcfg = cfg_replace(gcfg, hidden_dim=8, num_res_blocks=1,
                                    epochs=1)
@@ -149,6 +163,7 @@ def main():
             flips = df["class_flip_rate"].to_numpy()
             row = {
                 "recipe": name, "seed": seed, **over,
+                **{f"mask_{k}": v for k, v in mask_over.items()},
                 "worst_target_flip": round(float(np.min(flips)), 4),
                 "worst_target": int(np.argmin(flips)),
                 "mean_flip": round(float(np.mean(flips)), 4),
