@@ -318,3 +318,36 @@ def test_stats_endpoint_counts_and_latency(api):
     lat = a_cf["latency_ms"]
     assert lat["p50"] is not None and lat["p50"] <= lat["max"]
     assert after["endpoints"]["/classify"]["requests"] >= 1
+
+
+def test_api_over_sharded_engine(moons_data):
+    """The HTTP API serves correctly from a mesh-sharded engine (the
+    --shard deployment path): sharded responses equal unsharded ones."""
+    from cfgan.parallel.mesh import create_mesh
+
+    (xtr, ytr), (xte, yte), _ = moons_data
+    clf_model = MLPClassifier()
+    clf_state, _ = train_classifier(
+        clf_model, ClassifierConfig(lr=1e-2, steps=50), (xtr, ytr), seed=1
+    )
+    bundle = build_moons_countergan(
+        CounterGANConfig(), clf_model, clf_state, seed=3
+    )
+    plain = CounterfactualEngine.from_bundle(bundle, clf_model, clf_state)
+    sharded = CounterfactualEngine.from_bundle(
+        bundle, clf_model, clf_state).shard(create_mesh())
+    server = make_server(sharded, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        x = np.asarray(xte[:5], np.float32)
+        status, body = _post(base, "/counterfactual",
+                             {"x": x.tolist(), "target": 1})
+        assert status == 200
+        ref = plain.generate(x, target=1)
+        np.testing.assert_allclose(np.asarray(body["x_cf"]),
+                                   ref.x_cf, atol=1e-5)
+        assert body["pred"] == ref.pred.tolist()
+    finally:
+        server.shutdown()
