@@ -207,3 +207,39 @@ def test_sharded_serving_matches_single_device(moons_data):
     # bulk chunk must split evenly across the mesh axis
     with pytest.raises(ValueError):
         eng_sh.generate_bulk(x, target=2, chunk=12)
+
+
+def test_sharded_tabular_serving_matches_single_device():
+    """Sharded serving for the tabular program shape: per-row Gumbel
+    derivation + hard-Gumbel argmax + scatter residual assembly under
+    GSPMD must equal the unsharded engine exactly (the per-row noise
+    derivation makes results invariant to padding AND placement)."""
+    from cfgan.data.kc_house import load_kc_house
+    from cfgan.models.classifiers import TabularClassifier
+    from cfgan.serve.engine import CounterfactualEngine
+    from cfgan.train.builders import build_tabular_countergan
+    from cfgan.train.state import NetState, adam_like_torch
+
+    (xtr, ytr), _, stats, _, schema = load_kc_house(seed=0)
+    tclf = TabularClassifier(num_classes=4)
+    tclf_state = NetState.create(
+        tclf.init({"params": jax.random.key(0), "dropout": jax.random.key(0)},
+                  jnp.asarray(xtr[:2])),
+        adam_like_torch(1e-3),
+    )
+    cfg = CounterGANConfig(hidden_dim=16, num_res_blocks=2)
+    bundle = build_tabular_countergan(cfg, tclf, tclf_state, schema, stats,
+                                      num_classes=4, seed=3)
+    kw = dict(schema=schema, stats=stats)
+    plain = CounterfactualEngine.from_bundle(bundle, tclf, tclf_state, **kw)
+    sharded = CounterfactualEngine.from_bundle(
+        bundle, tclf, tclf_state, **kw).shard(create_mesh())
+
+    x = np.asarray(xtr[:37], np.float32)  # odd size -> padding on the mesh
+    ref = plain.generate(x, target=2)
+    got = sharded.generate(x, target=2)
+    np.testing.assert_allclose(got.x_cf, ref.x_cf, atol=1e-6)
+    np.testing.assert_array_equal(got.pred, ref.pred)
+    # immutables untouched under the schema default mask, sharded too
+    for i in schema.immutable_idx:
+        np.testing.assert_array_equal(got.x_cf[:, i], x[:, i])
