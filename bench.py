@@ -442,7 +442,113 @@ def bench_families():
     return rows
 
 
-def main():
+# ----------------------------------------------------- outage-tolerant driver
+# Round 3 shipped no benchmark because one backend-init failure (the axon
+# tunnel was down) killed the process with a raw traceback (VERDICT.md
+# missing #1).  The fix: the parent process never touches jax.  It first
+# runs a tiny device PROBE in a child with a hard timeout (a hung backend
+# init cannot be interrupted in-process — only a child kill works), then
+# the real bench in a second child, retrying both with bounded backoff.
+# On final failure it emits ONE structured JSON line.
+
+def _env_float(name: str, default: float) -> float:
+    try:
+        return float(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+def _probe_main() -> None:
+    """Child: prove the backend is alive (device list + tiny matmul)."""
+    sim = os.environ.get("CFGAN_BENCH_FAIL_PROBE", "")
+    if sim == "crash":
+        log("[probe] simulated backend-init crash")
+        sys.exit(17)
+    if sim == "hang":
+        log("[probe] simulated backend-init hang")
+        time.sleep(3600)
+    import jax
+
+    # the axon sitecustomize pins the platform; tests override to CPU via
+    # jax.config (the env var alone is ignored on this image)
+    plat = os.environ.get("CFGAN_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    x = jnp.ones((128, 128))
+    val = float((x @ x)[0, 0])
+    log(f"[probe] backend ok: {dev.platform} ({dev.device_kind}), "
+        f"matmul={val}")
+    sys.exit(0)
+
+
+def _run_child(flag: str, timeout_s: float, extra: list[str]) -> tuple[int, str]:
+    """Run this script in a child with `flag`; kill on timeout.
+    Returns (rc, stdout). stderr is inherited (live progress)."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), flag, *extra]
+    try:
+        proc = subprocess.run(cmd, stdout=subprocess.PIPE, timeout=timeout_s)
+        return proc.returncode, proc.stdout.decode(errors="replace")
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"").decode(errors="replace")
+        return -9, out + f"\n[timeout after {timeout_s:.0f}s]"
+
+
+def _supervise(argv: list[str]) -> None:
+    extra = [a for a in argv if a in ("--scaling", "--families")]
+    attempts_max = int(_env_float("CFGAN_BENCH_ATTEMPTS", 3))
+    probe_timeout = _env_float("CFGAN_BENCH_PROBE_TIMEOUT", 300.0)
+    bench_timeout = _env_float("CFGAN_BENCH_TIMEOUT", 3000.0)
+    backoff = _env_float("CFGAN_BENCH_BACKOFF", 30.0)
+    errors: list[str] = []
+    for attempt in range(1, attempts_max + 1):
+        if attempt > 1:
+            delay = backoff * 2 ** (attempt - 2)
+            log(f"[bench] attempt {attempt}/{attempts_max} in {delay:.0f}s")
+            time.sleep(delay)
+        rc, _ = _run_child("--_probe", probe_timeout, [])
+        if rc != 0:
+            msg = (f"backend probe {'timed out' if rc == -9 else f'failed rc={rc}'}"
+                   f" (attempt {attempt})")
+            log(f"[bench] {msg}")
+            errors.append(msg)
+            continue
+        rc, out = _run_child("--_child", bench_timeout, extra)
+        if rc == 0:
+            # forward the child's stdout (the JSON line / results) verbatim
+            sys.stdout.write(out)
+            sys.stdout.flush()
+            return
+        msg = (f"bench child {'timed out' if rc == -9 else f'failed rc={rc}'}"
+               f" (attempt {attempt})")
+        log(f"[bench] {msg}")
+        errors.append(msg)
+    print(json.dumps({
+        "metric": "mnist_countergan_train_images_per_sec_per_chip",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "error": errors[-1] if errors else "unknown",
+        "attempts": attempts_max,
+        "errors": errors,
+    }), flush=True)
+    sys.exit(1)
+
+
+def _child_main() -> None:
+    if os.environ.get("CFGAN_BENCH_FAIL_BENCH", "") == "crash":
+        log("[bench child] simulated failure")
+        sys.exit(18)
+    if os.environ.get("CFGAN_BENCH_FAKE", "") == "1":
+        # test hook: exercise the supervisor's forwarding path without
+        # paying for a real benchmark run
+        print(json.dumps({"metric": "fake", "value": 1.0, "unit": "x",
+                          "vs_baseline": 1.0}), flush=True)
+        return
     if "--scaling" in sys.argv:
         bench_batch_scaling()
         return
@@ -468,6 +574,16 @@ def main():
         "baseline": "torch-eager CPU on this host (reference GPU "
                     "unavailable; reference publishes no throughput)",
     }), flush=True)
+
+
+def main():
+    if "--_probe" in sys.argv:
+        _probe_main()
+        return
+    if "--_child" in sys.argv:
+        _child_main()
+        return
+    _supervise(sys.argv[1:])
 
 
 if __name__ == "__main__":
