@@ -71,6 +71,17 @@ def restore(path: str, target):
         from cfgan.train.state import GANState
 
         if isinstance(target, GANState):
+            if target.g_ema is not None:
+                # ADVICE r3: an EMA-enabled recipe resuming from a pre-EMA
+                # checkpoint would silently continue with the template's
+                # (init-params) EMA — make that loud instead of silent
+                import warnings
+
+                warnings.warn(
+                    f"checkpoint at {path!r} predates the g_ema field but the "
+                    "target state carries an EMA: resuming will REINITIALIZE "
+                    "the EMA from the template's params, not the trained "
+                    "average", stacklevel=2)
             state_dict["g_ema"] = serialization.to_state_dict(target.g_ema)
     restored = serialization.from_state_dict(target, state_dict)
     for got, want in zip(jax.tree_util.tree_leaves(restored),

@@ -202,8 +202,10 @@ class ApiStats:
                    "endpoints": {}}
             for path in sorted(self._counts):
                 lat = sorted(self._lat[path])
+                # nearest-rank over n-1 intervals (ADVICE r3: int(p*len) is
+                # upper-biased — with 2 samples p50 would return the max)
                 q = (lambda p: round(
-                    lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 2)
+                    lat[int(round(p * (len(lat) - 1)))] * 1e3, 2)
                 ) if lat else (lambda p: None)
                 out["endpoints"][path] = {
                     "requests": self._counts[path],

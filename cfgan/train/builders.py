@@ -93,7 +93,8 @@ def make_mixed_precision(apply_fn, compute_dtype: str):
     return wrapped
 
 
-def make_bn_recalibrator(g_forward, mask_sampler, num_classes: int):
+def make_bn_recalibrator(g_forward, mask_sampler, num_classes: int,
+                         full_mask_fn=None):
     """BatchNorm-statistics recalibration for weight-averaged generators.
 
     The per-step generator EMA (`CounterGANConfig.ema_decay`) averages
@@ -108,9 +109,12 @@ def make_bn_recalibrator(g_forward, mask_sampler, num_classes: int):
     mask_mode="train")`: one compiled `lax.scan` of train-mode forward
     passes under `params`, sampling batches/targets from the training
     distributions and masks per `mask_mode` — `"train"` draws from the
-    training `mask_sampler`, `"ones"` uses all-ones masks (the headline
-    eval/serving protocol; which distribution yields the better serving
-    stats is seed-dependent, so `select_g_serving_variables` scores both).
+    training `mask_sampler`, `"ones"` uses the family's serving-default
+    "fully modifiable" mask: all-ones, or `full_mask_fn(x)` when given
+    (ADVICE r3: the tabular serving default zeroes immutable features, so
+    literal all-ones would recalibrate under a distribution serving never
+    sees).  Which distribution yields the better serving stats is
+    seed-dependent, so `select_g_serving_variables` scores both.
     Running stats chain through the scan; with torch-momentum 0.1 their
     memory of the starting point decays by 0.9^steps (~7e-10 at 200), so
     initialization is irrelevant.  Cost: `steps` generator forwards — a
@@ -129,7 +133,8 @@ def make_bn_recalibrator(g_forward, mask_sampler, num_classes: int):
             t = jax.random.randint(kt, (batch_size,), 0, num_classes)
             t_oh = jax.nn.one_hot(t, num_classes, dtype=xb.dtype)
             mask = (mask_sampler(km, xb) if mask_mode == "train"
-                    else jnp.ones_like(xb))
+                    else (full_mask_fn(xb) if full_mask_fn is not None
+                          else jnp.ones_like(xb)))
             _, new = g_forward(params, carry, xb, t, t_oh, mask, kg)
             return {**carry, **new}, jnp.zeros(())
 
@@ -312,13 +317,14 @@ def build_moons_countergan(
     d_forward = make_mixed_precision(d_forward, cfg.compute_dtype)
     clf_forward = _clf_forward_fn(clf_model, clf_vars, cfg.compute_dtype)
 
+    moons_full_mask = lambda x: immutable_complement_mask(
+        x.shape[0], x.shape[1], cfg.mask.immutable_idx)
     mask_sampler = _with_ones_fraction(
         lambda key, x: random_feature_mask(
             key, x.shape[0], x.shape[1], cfg.mask.immutable_idx
         ),
         cfg.mask.ones_fraction,
-        lambda x: immutable_complement_mask(x.shape[0], x.shape[1],
-                                            cfg.mask.immutable_idx),
+        moons_full_mask,
     )
 
     step_fn = make_countergan_step(
@@ -346,7 +352,8 @@ def build_moons_countergan(
     return CounterGANBundle(
         g_model, d_model, state, step_fn, make_epoch_runner(step_fn), cf_fn,
         tx_g, tx_d, num_classes,
-        recal_fn=make_bn_recalibrator(g_forward, mask_sampler, num_classes),
+        recal_fn=make_bn_recalibrator(g_forward, mask_sampler, num_classes,
+                                      full_mask_fn=moons_full_mask),
     )
 
 
@@ -524,13 +531,14 @@ def build_tabular_countergan(
     d_forward = make_mixed_precision(d_forward, cfg.compute_dtype)
     clf_forward = _clf_forward_fn(clf_model, clf_vars, cfg.compute_dtype)
 
+    serving_full_mask = lambda x: immutable_complement_mask(
+        x.shape[0], x.shape[1], schema.immutable_idx)
     mask_sampler = _with_ones_fraction(
         lambda key, x: random_feature_mask(
             key, x.shape[0], x.shape[1], schema.immutable_idx
         ),
         cfg.mask.ones_fraction,
-        lambda x: immutable_complement_mask(x.shape[0], x.shape[1],
-                                            schema.immutable_idx),
+        serving_full_mask,
     )
 
     step_fn = make_countergan_step(
@@ -574,5 +582,6 @@ def build_tabular_countergan(
     return CounterGANBundle(
         g_model, d_model, state, step_fn, make_epoch_runner(step_fn), cf_fn,
         tx_g, tx_d, num_classes,
-        recal_fn=make_bn_recalibrator(g_forward, mask_sampler, num_classes),
+        recal_fn=make_bn_recalibrator(g_forward, mask_sampler, num_classes,
+                                      full_mask_fn=serving_full_mask),
     )
