@@ -18,8 +18,12 @@ dispatch and the jit caches are thread-safe, and bucket padding is
 value-invariant per row, so concurrent first-touch of the same bucket at
 worst compiles once per bucket (pinned by
 `tests/test_serve_api.py::test_concurrent_hammer_mixed_endpoints`).
-Mutating configuration (`pad_to_bucket`, `g_vars`) is NOT synchronized —
-reconfigure only while no requests are in flight.  The gradio *backends*
+Configuration is construct-then-serve and ENFORCED: once the first
+request has been served, `shard()` and `pad_to_bucket` assignment raise
+`RuntimeError`, so the unsafe reconfigure-while-serving window cannot
+exist (`launch --shard` already shards before the server starts; pinned
+by `tests/test_serve.py::test_engine_config_frozen_after_first_request`).
+The gradio *backends*
 (`serve/apps.py`) are by contrast single-session objects: they carry
 conversation state and a `np.random.RandomState` and must not be shared
 across concurrent sessions.
@@ -100,6 +104,25 @@ class CounterfactualEngine:
         self._mesh = None
         self._shard_n = 1
         self._batch_sharding = None
+        # set at first served request; threading.Event for cross-thread
+        # visibility under ThreadingHTTPServer (construct-then-serve guard)
+        import threading
+
+        self._served = threading.Event()
+
+    def _mark_served(self):
+        if not self._served.is_set():
+            self._served.set()
+
+    def _check_configurable(self, what: str):
+        if self._served.is_set():
+            raise RuntimeError(
+                f"cannot change {what}: the engine has already served "
+                "requests.  Configuration is construct-then-serve — shard "
+                "and set pad_to_bucket before the first generate/classify "
+                "call (see the thread-ownership contract in the module "
+                "docstring)."
+            )
 
     # --------------------------------------------------------- parallelism
     def shard(self, mesh, axis: str | None = None):
@@ -114,6 +137,7 @@ class CounterfactualEngine:
         of the axis size so shards stay equal.  Returns self."""
         from jax.sharding import NamedSharding, PartitionSpec
 
+        self._check_configurable("sharding")
         axis = axis or mesh.axis_names[0]
         self._mesh = mesh
         self._shard_n = mesh.shape[axis]
@@ -137,6 +161,7 @@ class CounterfactualEngine:
 
     # ------------------------------------------------------------- inference
     def classify(self, x) -> np.ndarray:
+        self._mark_served()
         x = jnp.asarray(x)
         if x.ndim == self._sample_ndim(x):
             x = x[None]
@@ -153,8 +178,18 @@ class CounterfactualEngine:
     #: (`derive_gumbel_noise`, cfgan/models/tabular.py), so row i's draw
     #: depends only on (key, head, i), never on the padded batch size —
     #: pinned by tests/test_serve.py::test_bucket_padding_value_invariant.
-    pad_to_bucket: bool = True
+    #: Settable only before the first request (construct-then-serve).
+    _pad_to_bucket: bool = True
     _MAX_BUCKET = 512
+
+    @property
+    def pad_to_bucket(self) -> bool:
+        return self._pad_to_bucket
+
+    @pad_to_bucket.setter
+    def pad_to_bucket(self, value: bool) -> None:
+        self._check_configurable("pad_to_bucket")
+        self._pad_to_bucket = bool(value)
 
     @classmethod
     def _bucket(cls, b: int) -> int:
@@ -171,6 +206,7 @@ class CounterfactualEngine:
         """Batched counterfactual generation.  `target` may be an int
         (broadcast) or a per-sample array; `mask` defaults to all-ones with
         schema immutables zeroed for tabular engines."""
+        self._mark_served()
         x = jnp.asarray(x)
         squeeze = x.ndim == self._sample_ndim(x)
         if squeeze:
@@ -233,6 +269,7 @@ class CounterfactualEngine:
         is `fold_in(key, chunk_index)`, so a sample's Gumbel draw depends
         on its chunk — same distribution as `generate`, but not
         row-for-row identical to it."""
+        self._mark_served()
         x = jnp.asarray(x)
         if x.ndim == self._sample_ndim(x):
             x = x[None]

@@ -73,14 +73,41 @@ def test_engine_batch_bucketing(moons_engine):
     # same bucket (4): results for the shared prefix must be identical
     r4 = eng.generate(xte[:4], target=1)
     np.testing.assert_array_equal(r3.x_cf, r4.x_cf[:3])
-    # bucketing must not change values vs the exact-shape path
-    eng.pad_to_bucket = False
+    # bucketing must not change values vs the exact-shape path (the public
+    # setter is frozen after the first request — construct-then-serve — so
+    # this quiescent single-threaded check flips the private field)
+    eng._pad_to_bucket = False
     try:
         exact = eng.generate(xte[:3], target=1)
     finally:
-        eng.pad_to_bucket = True
+        eng._pad_to_bucket = True
     np.testing.assert_array_equal(r3.x_cf, exact.x_cf)
     np.testing.assert_array_equal(r3.pred, exact.pred)
+
+
+def test_engine_config_frozen_after_first_request(moons_engine):
+    """VERDICT r3 #8: configuration is construct-then-serve.  After the
+    first served request, shard() and pad_to_bucket assignment must raise
+    so a reconfigure-while-serving race cannot exist."""
+    eng, xte, _ = moons_engine
+    eng.generate(xte[:2], target=1)  # marks the engine as served
+    with pytest.raises(RuntimeError, match="already served"):
+        eng.pad_to_bucket = False
+    assert eng.pad_to_bucket is True  # unchanged
+    from cfgan.parallel.mesh import create_mesh
+
+    with pytest.raises(RuntimeError, match="already served"):
+        eng.shard(create_mesh())
+    assert eng._mesh is None and eng._shard_n == 1  # unchanged
+
+    # a FRESH engine still configures freely before its first request
+    fresh = CounterfactualEngine(
+        eng.cf_fn, eng.clf_fn, eng.g_vars, eng.num_classes)
+    fresh.pad_to_bucket = False
+    fresh.pad_to_bucket = True
+    fresh.shard(create_mesh())
+    assert fresh._shard_n >= 1
+    fresh.generate(xte[:2], target=1)  # and then serves normally
 
 
 def test_bucket_padding_value_invariant():
@@ -109,11 +136,11 @@ def test_bucket_padding_value_invariant():
     x = jnp.asarray(xtr[:3])
     key = jax.random.key(7)
     res_pad = eng.generate(x, target=2, key=key)  # pads 3 -> bucket 4
-    eng.pad_to_bucket = False
+    eng._pad_to_bucket = False  # private: public setter frozen post-serve
     try:
         res_exact = eng.generate(x, target=2, key=key)
     finally:
-        eng.pad_to_bucket = True
+        eng._pad_to_bucket = True
     np.testing.assert_array_equal(res_pad.x_cf, res_exact.x_cf)
     np.testing.assert_array_equal(res_pad.pred, res_exact.pred)
 
