@@ -98,6 +98,8 @@ def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
         )
         state = bundle.state
         history = {}
+        sel_info = (ckpt.load_metadata(gen_dir) or {}).get(
+            "serving_selection", {})
         print(f"Loaded generator from {gen_dir}")
     else:
         state, history = train_countergan_loop(
@@ -221,6 +223,22 @@ def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
         bundle.cf_fn, clf_fn, g_vars, xte[0], target=3,
         patch_indices=list(range(6, 12)), patch_size=ps,
         path=os.path.join(out_dir, "user_modification_example.png"),
+    )
+
+    # provenance: record, in the SAME invocation that wrote the CSVs,
+    # which serving candidate produced them (cfgan.core.provenance;
+    # tools/check_provenance.py validates every committed run dir)
+    from cfgan.core.provenance import write_run_provenance
+
+    stale = os.path.join(out_dir, "STALE.txt")
+    if os.path.exists(stale):
+        os.remove(stale)
+    write_run_provenance(
+        out_dir, preset=cfg.name, seed=cfg.seed,
+        serving_candidate=sel_info.get("candidate"),
+        selection_scores=sel_info.get("scores"),
+        extra={"batch_flip_rate": batch_m["class_flip_rate"],
+               "classifier_test_accuracy": clf_eval["accuracy"]},
     )
 
     return {"classifier": clf_eval, "batch_metrics": batch_m,

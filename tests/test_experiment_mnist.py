@@ -50,9 +50,43 @@ def test_mnist_experiment_end_to_end_with_selection(tmp_path):
     assert len(df) == 10
     assert np.isfinite(df["class_flip_rate"]).all()
 
-    # skip-if-exists rerun loads the same served variables (no retrain)
+    # ---- provenance contract (VERDICT r3 weak #1) ----
+    from cfgan.core.provenance import (
+        check_run_provenance,
+        invalidate_run_provenance,
+        serving_candidate_of,
+    )
+
+    rec = check_run_provenance(out)  # three-way consistent after a run
+    assert rec["serving_candidate"] == sel["candidate"]
+    assert rec["preset"] == cfg.name and rec["seed"] == 5
+    assert rec["per_target_flip_min"] == pytest.approx(
+        float(df["class_flip_rate"].min()))
+    assert serving_candidate_of(out) == sel["candidate"]
+
+    # tampering with the CSV after provenance was written must be caught
+    df2 = df.copy()
+    df2.loc[0, "class_flip_rate"] = 0.123456
+    df2.to_csv(os.path.join(out, "countergan_metrics_per_class.csv"),
+               index=False)
+    with pytest.raises(ValueError, match="CSV floor/mean"):
+        check_run_provenance(out)
+    df.to_csv(os.path.join(out, "countergan_metrics_per_class.csv"),
+              index=False)
+    check_run_provenance(out)
+
+    # a reselection invalidates the dir until eval reruns
+    invalidate_run_provenance(out, "test reselect")
+    with pytest.raises(ValueError, match="stale|provenance"):
+        check_run_provenance(out)
+
+    # skip-if-exists rerun loads the same served variables (no retrain),
+    # regenerates the CSVs, and restores provenance consistency
     mtime = os.path.getmtime(
         os.path.join(out, "generator", "checkpoint.msgpack"))
     run(cfg, out_dir=out, limit=320)
     assert os.path.getmtime(
         os.path.join(out, "generator", "checkpoint.msgpack")) == mtime
+    rec2 = check_run_provenance(out)
+    assert rec2["serving_candidate"] == sel["candidate"]
+    assert not os.path.exists(os.path.join(out, "STALE.txt"))
