@@ -258,7 +258,12 @@ def main():
     ap.add_argument("--legacy", action="store_true",
                     help="superseded delta-generator stack with a fixed "
                          "target (preset mnist_countergan_legacy)")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu — the axon "
+                    "sitecustomize pins the env default)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     from cfgan.core.config import replace as cfg_replace
     from cfgan.experiments.presets import MNIST_COUNTERGAN_LEGACY
 

@@ -53,11 +53,16 @@ def main():
                     help="recipe name (cfgan.experiments.presets.PRESETS); "
                     "default: the run dir's recorded preset, else "
                     "mnist_countergan")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu — the axon "
+                    "sitecustomize pins the env default)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))
