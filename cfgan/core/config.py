@@ -109,6 +109,12 @@ class CounterGANConfig:
     # (jax.checkpoint): trades ~1/3 more FLOPs for O(depth) less activation
     # memory — the knob for scaling G depth/width beyond HBM
     remat: bool = False
+    # image generator 3x3-conv lowering: None/"xla" = lax.conv (default),
+    # "matmul" = shifted-tap matmul decomposition (cfgan.ops.conv) that
+    # routes the hot resblock convs through XLA's dot tilings instead of
+    # its conv tilings — the lever for the batch>=256 conv-tiling cliff
+    # (BASELINE.md "Batch scaling"; bench with tools/conv_cliff_bench.py)
+    conv_impl: str | None = None
     # tabular only: run the categorical heads + Gumbel-Softmax in f32 under
     # bf16 compute (exp((logits+g)/tau) at tau=0.5 amplifies bf16 logit
     # quantization into argmax flips); no-op under f32 compute.  Default ON:

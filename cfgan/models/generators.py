@@ -127,6 +127,10 @@ class ImageResidualGenerator(nn.Module):
     base_ch: int = 64
     n_resblocks: int = 6
     residual_scaling: float = 0.1
+    #: "matmul" lowers all fourteen 3x3 convs through the shifted-tap
+    #: matmul decomposition (cfgan.ops.conv) — same params/init, different
+    #: XLA tiling path (the batch>=256 conv-tiling-cliff lever)
+    conv_impl: str | None = None
 
     @nn.compact
     def __call__(self, x, target, mask, train: bool = True):
@@ -137,11 +141,15 @@ class ImageResidualGenerator(nn.Module):
         )(target).reshape(b, h, w, 1)
         inp = jnp.concatenate([x, plane, mask], axis=-1)
 
-        z = leaky_relu(Conv(self.base_ch, 3, 1, 1, kernel_init=kinit, name="conv_in")(inp))
+        z = leaky_relu(Conv(self.base_ch, 3, 1, 1, kernel_init=kinit,
+                            name="conv_in", impl=self.conv_impl)(inp))
         for i in range(self.n_resblocks):
-            z = ConvResBlock(self.base_ch, name=f"res{i}")(z, train)
-        z = leaky_relu(Conv(self.base_ch, 3, 1, 1, kernel_init=kinit, name="conv_mid")(z))
-        raw = Conv(c, 3, 1, 1, kernel_init=kinit, name="conv_out")(z) * self.residual_scaling
+            z = ConvResBlock(self.base_ch, name=f"res{i}",
+                             conv_impl=self.conv_impl)(z, train)
+        z = leaky_relu(Conv(self.base_ch, 3, 1, 1, kernel_init=kinit,
+                            name="conv_mid", impl=self.conv_impl)(z))
+        raw = Conv(c, 3, 1, 1, kernel_init=kinit, name="conv_out",
+                   impl=self.conv_impl)(z) * self.residual_scaling
         return raw, raw * mask
 
 

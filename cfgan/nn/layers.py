@@ -41,9 +41,44 @@ class Linear(nn.Module):
         return y
 
 
+class _Conv3x3Matmul(nn.Module):
+    """Drop-in 3x3/SAME/stride-1 conv computing via the shifted-tap matmul
+    decomposition (`cfgan.ops.conv.conv3x3_same_matmul`) instead of
+    lax.conv — sidesteps the XLA conv-tiling cliff at the 28x28/64-ch
+    generator shapes (BASELINE.md "Batch scaling").
+
+    Parameter names, shapes, dtypes and init RNG derivation are IDENTICAL
+    to flax nn.Conv's (kernel (3,3,Cin,Cout) + bias (Cout,)), and callers
+    pin the child scope name to "Conv_0", so checkpoints and oracles are
+    interchangeable between implementations bit-for-bit."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = None  # set by Conv
+    bias_init: Callable = None
+
+    @nn.compact
+    def __call__(self, x):
+        from cfgan.ops.conv import conv3x3_same_matmul
+
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, x.shape[-1], self.features))
+        bias = (self.param("bias", self.bias_init, (self.features,))
+                if self.use_bias else None)
+        # match nn.Conv's compute-dtype promotion (params are cast to the
+        # compute dtype upstream by make_mixed_precision)
+        kernel = kernel.astype(x.dtype)
+        bias = bias.astype(x.dtype) if bias is not None else None
+        return conv3x3_same_matmul(x, kernel, bias)
+
+
 class Conv(nn.Module):
     """2-D convolution (NHWC) with torch-default init and torch-style
-    integer padding."""
+    integer padding.
+
+    `impl="matmul"` lowers the 3x3/stride-1/pad-1 case through the
+    shifted-tap matmul decomposition (same params, same init — see
+    _Conv3x3Matmul); any other geometry falls back to lax.conv."""
 
     features: int
     kernel_size: int = 3
@@ -51,19 +86,28 @@ class Conv(nn.Module):
     padding: int = 0
     use_bias: bool = True
     kernel_init: Callable | None = None
+    impl: str | None = None
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         fan_in = x.shape[-1] * k * k
+        kinit = self.kernel_init or cinit.torch_kernel_init
+        binit = cinit.scaled_uniform(fan_in)
+        if (self.impl == "matmul" and k == 3 and self.stride == 1
+                and self.padding == 1):
+            return _Conv3x3Matmul(
+                self.features, use_bias=self.use_bias, kernel_init=kinit,
+                bias_init=binit, name="Conv_0",
+            )(x)
         conv = nn.Conv(
             self.features,
             (k, k),
             strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
             use_bias=self.use_bias,
-            kernel_init=self.kernel_init or cinit.torch_kernel_init,
-            bias_init=cinit.scaled_uniform(fan_in),
+            kernel_init=kinit,
+            bias_init=binit,
         )
         return conv(x)
 
@@ -302,14 +346,17 @@ class ConvResBlock(nn.Module):
     channels: int
     damping: float = 0.1
     negative_slope: float = 0.2
+    conv_impl: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         kinit = cinit.kaiming_normal(self.negative_slope)
-        out = Conv(self.channels, 3, 1, 1, kernel_init=kinit, name="conv1")(x)
+        out = Conv(self.channels, 3, 1, 1, kernel_init=kinit, name="conv1",
+                   impl=self.conv_impl)(x)
         out = BatchNorm(name="bn1")(out, use_running_average=not train)
         out = leaky_relu(out, self.negative_slope)
-        out = Conv(self.channels, 3, 1, 1, kernel_init=kinit, name="conv2")(out)
+        out = Conv(self.channels, 3, 1, 1, kernel_init=kinit, name="conv2",
+                   impl=self.conv_impl)(out)
         out = BatchNorm(name="bn2")(out, use_running_average=not train)
         return x + self.damping * out
 

@@ -386,6 +386,7 @@ def build_mnist_countergan(
             base_ch=cfg.hidden_dim,
             n_resblocks=cfg.num_res_blocks,
             residual_scaling=cfg.residual_scaling,
+            conv_impl=cfg.conv_impl,
         )
         d_model = CondConvDiscriminator(num_classes=num_classes,
                                         d_hidden=cfg.hidden_dim)
