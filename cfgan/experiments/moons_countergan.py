@@ -158,10 +158,19 @@ def main():
     ap.add_argument("--out-dir", type=str, default=None)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--reference", action="store_true",
+                    help="run the EXACT reference recipe (preset "
+                    "moons_countergan_reference) instead of the shipped "
+                    "recipe-searched default")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     from cfgan.core.config import replace as cfg_replace
+    from cfgan.experiments.presets import MOONS_COUNTERGAN_REFERENCE
 
-    cfg = MOONS_COUNTERGAN
+    cfg = MOONS_COUNTERGAN_REFERENCE if args.reference else MOONS_COUNTERGAN
     if args.seed is not None:
         cfg = cfg.replace(seed=args.seed)
     if args.epochs is not None:

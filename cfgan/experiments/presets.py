@@ -14,9 +14,9 @@ from cfgan.core.config import (
 )
 
 # ----------------------------------------------------------- CounteRGAN
-# moons/config.py:1-17
-MOONS_COUNTERGAN = ExperimentConfig(
-    name="moons_countergan",
+# moons/config.py:1-17 — the EXACT reference recipe, kept for parity work
+MOONS_COUNTERGAN_REFERENCE = ExperimentConfig(
+    name="moons_countergan_reference",
     seed=42,
     num_classes=3,
     data=DataConfig(name="moons", batch_size=64),
@@ -35,6 +35,23 @@ MOONS_COUNTERGAN = ExperimentConfig(
         resample_target=True,
         hidden_dim=32,
         mask=MaskConfig(kind="feature"),
+    ),
+)
+
+# the SHIPPED moons default: reference recipe with lambda_cls 2 -> 3 and
+# lambda_reg 5/5 -> 3/3.  The reference recipe's seed-42 run stalls at
+# 0.974 flip on target 1 (seed luck: 43/44 reach 1.0); the round-4 recipe
+# grid (tools/moons_recipe_search.py, results/moons_recipe_search/)
+# measured this variant at per-target flip 1.0 ON ALL THREE TARGETS FOR
+# ALL THREE SEEDS (42/43/44) with unchanged actionability — robust 1.0,
+# not pick-your-seed (mirrors the MNIST default/reference preset split).
+MOONS_COUNTERGAN = MOONS_COUNTERGAN_REFERENCE.replace(
+    name="moons_countergan",
+    countergan=replace(
+        MOONS_COUNTERGAN_REFERENCE.countergan,
+        lambda_cls=3.0,
+        lambda_reg_l1=3.0,
+        lambda_reg_l2=3.0,
     ),
 )
 
@@ -174,6 +191,7 @@ PRESETS = {
     p.name: p
     for p in (
         MOONS_COUNTERGAN,
+        MOONS_COUNTERGAN_REFERENCE,
         MNIST_COUNTERGAN,
         MNIST_COUNTERGAN_REFERENCE,
         HOUSE_COUNTERGAN,
