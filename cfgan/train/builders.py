@@ -165,7 +165,8 @@ def g_serving_variables(bundle: "CounterGANBundle", state: GANState, x, key,
 
 def select_g_serving_variables(bundle: "CounterGANBundle", state: GANState,
                                x_recal, key, xva, yva, clf_fn,
-                               *, batch_size: int = 1024):
+                               *, batch_size: int = 1024,
+                               serving_mask_fn=None):
     """Validation-scored serving-candidate selection for EMA recipes.
 
     Which end-of-training generator serves best is seed-dependent: the live
@@ -203,11 +204,16 @@ def select_g_serving_variables(bundle: "CounterGANBundle", state: GANState,
         actionability_mode="x_cf_minus_x",
     )
     feat_shape = tuple(np.asarray(xva).shape[1:])
+    # score under the family's SERVING-default mask: all-ones for images;
+    # tabular/moons callers pass serving_mask_fn (immutable features
+    # zeroed) so selection ranks under the protocol serving actually uses
+    mask_fn = serving_mask_fn or (
+        lambda b: jnp.ones((b, *feat_shape), jnp.float32))
     scores = {}
     for name, gv in candidates.items():
         df = per_target_metrics(
             sweep, gv, xva, yva,
-            mask_fn=lambda b: jnp.ones((b, *feat_shape), jnp.float32),
+            mask_fn=mask_fn,
             key=k_eval, num_classes=bundle.num_classes,
             batch_size=batch_size,
         )
