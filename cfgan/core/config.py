@@ -112,7 +112,9 @@ class CounterGANConfig:
     # image generator 3x3-conv lowering: None/"xla" = lax.conv (default),
     # "matmul" = shifted-tap matmul decomposition (cfgan.ops.conv) that
     # routes the hot resblock convs through XLA's dot tilings instead of
-    # its conv tilings — the lever for the batch>=256 conv-tiling cliff
+    # its conv tilings, "pallas" = hand-written Pallas TPU kernel (nine
+    # VMEM-resident MXU dots per batch tile, matmul-decomposition custom
+    # VJP) — the levers for the batch>=256 conv-tiling cliff
     # (BASELINE.md "Batch scaling"; bench with tools/conv_cliff_bench.py)
     conv_impl: str | None = None
     # tabular only: run the categorical heads + Gumbel-Softmax in f32 under

@@ -56,10 +56,14 @@ class _Conv3x3Matmul(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = None  # set by Conv
     bias_init: Callable = None
+    variant: str = "matmul"  # matmul | pallas
 
     @nn.compact
     def __call__(self, x):
-        from cfgan.ops.conv import conv3x3_same_matmul
+        from cfgan.ops.conv import (
+            conv3x3_same_matmul,
+            make_conv3x3_same_pallas,
+        )
 
         kernel = self.param("kernel", self.kernel_init,
                             (3, 3, x.shape[-1], self.features))
@@ -69,6 +73,9 @@ class _Conv3x3Matmul(nn.Module):
         # compute dtype upstream by make_mixed_precision)
         kernel = kernel.astype(x.dtype)
         bias = bias.astype(x.dtype) if bias is not None else None
+        if self.variant == "pallas":
+            y = make_conv3x3_same_pallas()(x, kernel)
+            return y if bias is None else y + bias
         return conv3x3_same_matmul(x, kernel, bias)
 
 
@@ -94,11 +101,11 @@ class Conv(nn.Module):
         fan_in = x.shape[-1] * k * k
         kinit = self.kernel_init or cinit.torch_kernel_init
         binit = cinit.scaled_uniform(fan_in)
-        if (self.impl == "matmul" and k == 3 and self.stride == 1
-                and self.padding == 1):
+        if (self.impl in ("matmul", "pallas") and k == 3
+                and self.stride == 1 and self.padding == 1):
             return _Conv3x3Matmul(
                 self.features, use_bias=self.use_bias, kernel_init=kinit,
-                bias_init=binit, name="Conv_0",
+                bias_init=binit, variant=self.impl, name="Conv_0",
             )(x)
         conv = nn.Conv(
             self.features,

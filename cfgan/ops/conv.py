@@ -65,3 +65,110 @@ def conv_flops(batch: int, hw: tuple[int, int], cin: int, cout: int,
                k: int = 3) -> int:
     """MACs*2 of one SAME conv — for CostEstimates and roofline math."""
     return 2 * batch * int(np.prod(hw)) * cin * cout * k * k
+
+
+# ---------------------------------------------------------- pallas kernel
+def _pallas_conv3x3_kernel(xp_ref, k_ref, out_ref, acc_ref):
+    """One grid step: TILE_B padded images (TILE_B, H+2, W+2, Cin) in VMEM
+    -> (TILE_B, H, W, Cout).  Nine (TILE_B*H*W, Cin)@(Cin, Cout) MXU dots
+    accumulate into an f32 VMEM scratch; the halo never leaves VMEM."""
+    tb, hp, wp, cin = xp_ref.shape
+    h, w = hp - 2, wp - 2
+    cout = out_ref.shape[-1]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for dy in range(3):
+        for dx in range(3):
+            tap = xp_ref[:, dy:dy + h, dx:dx + w, :].reshape(tb * h * w, cin)
+            acc_ref[:] += jax.lax.dot_general(
+                tap, k_ref[dy, dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype).reshape(tb, h, w, cout)
+
+
+def _conv3x3_pallas_fwd(x: jax.Array, kernel: jax.Array,
+                        tile_b: int = 8, interpret: bool = False
+                        ) -> jax.Array:
+    """SAME/stride-1 3x3 NHWC conv as a Pallas TPU kernel (forward only;
+    use `conv3x3_same_pallas` for the differentiable op)."""
+    from jax.experimental import pallas as pl
+
+    # the Mosaic TPU compiler is the only real backend; everywhere else
+    # (CPU tests, the virtual device mesh) run the interpreter
+    interpret = interpret or jax.default_backend() != "tpu"
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    tile_b = min(tile_b, b)
+    pad_b = (-b) % tile_b
+    xp = jnp.pad(x, ((0, pad_b), (1, 1), (1, 1), (0, 0)))
+    nb = xp.shape[0]
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        vmem = pltpu.VMEM
+        scratch = [pltpu.VMEM((tile_b * h * w, cout), jnp.float32)]
+        kwargs = dict(scratch_shapes=scratch)
+        mem = dict(memory_space=vmem)
+    except ImportError:  # pragma: no cover - CPU-only builds
+        kwargs, mem = {}, {}
+        interpret = True
+
+    y = pl.pallas_call(
+        _pallas_conv3x3_kernel,
+        grid=(nb // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, h + 2, w + 2, cin),
+                         lambda i: (i, 0, 0, 0), **mem),
+            pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0), **mem),
+        ],
+        out_specs=pl.BlockSpec((tile_b, h, w, cout),
+                               lambda i: (i, 0, 0, 0), **mem),
+        out_shape=jax.ShapeDtypeStruct((nb, h, w, cout), x.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(xp, kernel)
+    return y[:b]
+
+
+def make_conv3x3_same_pallas(tile_b: int = 8, interpret: bool = False):
+    """Differentiable Pallas 3x3/SAME conv: Pallas forward, matmul-
+    decomposition backward (custom_vjp — the transposed conv for dx, nine
+    tap-reduction matmuls for dK).  `interpret=True` runs the kernel in
+    the Pallas interpreter (CPU tests)."""
+
+    @jax.custom_vjp
+    def conv(x, kernel):
+        return _conv3x3_pallas_fwd(x, kernel, tile_b=tile_b,
+                                   interpret=interpret)
+
+    def fwd(x, kernel):
+        return conv(x, kernel), (x, kernel)
+
+    def bwd(res, g):
+        x, kernel = res
+        # dx: SAME conv of g with the spatially flipped, channel-transposed
+        # kernel; dK[dy,dx] = tap(x, dy, dx)^T @ g
+        k_t = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)
+        dx = conv3x3_same_matmul(g, k_t.astype(g.dtype))
+        b, h, w, cin = x.shape
+        cout = g.shape[-1]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        gm = g.reshape(b * h * w, cout)
+        dk = []
+        for dy in range(3):
+            row = []
+            for dxx in range(3):
+                tap = jax.lax.dynamic_slice(
+                    xp, (0, dy, dxx, 0), (b, h, w, cin)
+                ).reshape(b * h * w, cin)
+                row.append(jax.lax.dot_general(
+                    tap, gm, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(kernel.dtype))
+            dk.append(jnp.stack(row))
+        return dx.astype(x.dtype), jnp.stack(dk)
+
+    conv.defvjp(fwd, bwd)
+    return conv

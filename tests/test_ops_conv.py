@@ -56,6 +56,59 @@ def test_conv_impl_matmul_gradients_match():
     np.testing.assert_allclose(g_alt_x, g_ref_x, atol=5e-4, rtol=5e-4)
 
 
+def test_pallas_conv_forward_matches_lax_conv():
+    """The Pallas kernel (interpret mode on CPU) == lax.conv, including
+    the batch-padding path (b=5 pads to the tile size)."""
+    from cfgan.ops.conv import make_conv3x3_same_pallas
+
+    key = jax.random.key(11)
+    for b in (8, 5, 2):
+        x = jax.random.normal(jax.random.fold_in(key, b), (b, 14, 14, 6))
+        kernel = jax.random.normal(jax.random.fold_in(key, 100 + b),
+                                   (3, 3, 6, 8)) * 0.1
+        want = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        got = make_conv3x3_same_pallas(tile_b=4, interpret=True)(x, kernel)
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_conv_custom_vjp_matches_lax_grads():
+    from cfgan.ops.conv import make_conv3x3_same_pallas
+
+    x = jax.random.normal(jax.random.key(1), (4, 10, 10, 5))
+    kernel = jax.random.normal(jax.random.key(2), (3, 3, 5, 7)) * 0.1
+    conv = make_conv3x3_same_pallas(tile_b=2, interpret=True)
+
+    def loss_p(xx, kk):
+        return jnp.sum(conv(xx, kk) ** 2)
+
+    def loss_ref(xx, kk):
+        y = jax.lax.conv_general_dilated(
+            xx, kk, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(y ** 2)
+
+    gx, gk = jax.grad(loss_p, argnums=(0, 1))(x, kernel)
+    gx_ref, gk_ref = jax.grad(loss_ref, argnums=(0, 1))(x, kernel)
+    np.testing.assert_allclose(gx, gx_ref, atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(gk, gk_ref, atol=5e-4, rtol=5e-4)
+
+
+def test_conv_module_impl_pallas_end_to_end():
+    """Conv(impl='pallas') — same params as the default, same function
+    (interpret-mode kernel on CPU)."""
+    x = jax.random.normal(jax.random.key(9), (3, 12, 12, 4))
+    ref = Conv(6, 3, 1, 1)
+    alt = Conv(6, 3, 1, 1, impl="pallas")
+    v_ref = ref.init(jax.random.key(42), x)
+    v_alt = alt.init(jax.random.key(42), x)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, v_ref, v_alt)
+    np.testing.assert_allclose(alt.apply(v_ref, x), ref.apply(v_ref, x),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_conv_impl_falls_back_for_other_geometries():
     """Strided/valid convs ignore impl='matmul' and still work."""
     x = jax.random.normal(jax.random.key(5), (2, 28, 28, 3))
