@@ -124,7 +124,12 @@ def run(cfg=HOUSE_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
             bundle, state, xtr,
             jax.random.fold_in(jax.random.key(cfg.seed), 777),
         )
-        ckpt.save(gen_dir, g_vars, metadata={"stats": stats.to_metadata()})
+        candidate = ("live" if cfg.countergan.ema_decay == 0.0
+                     else "ema_recal_train")
+        ckpt.save(gen_dir, g_vars,
+                  metadata={"stats": stats.to_metadata(),
+                            "serving_selection": {"candidate": candidate,
+                                                  "scores": {}}})
         plot_loss_curves(history, os.path.join(out_dir, "loss_curves.png"))
 
     # ---- stage 3: evaluation (house eval_utils.py:673-728) ----
@@ -183,6 +188,23 @@ def run(cfg=HOUSE_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
     analyze_mask_policies(
         bundle.cf_fn, clf_fn, g_vars, xte, yte, schema, cfg.num_classes,
         key=key, out_dir=out_dir,
+    )
+
+    # provenance: the eval CSVs above were produced by the candidate the
+    # generator checkpoint serves (cfgan.core.provenance)
+    from cfgan.core.provenance import (
+        serving_candidate_of,
+        write_run_provenance,
+    )
+
+    stale = os.path.join(out_dir, "STALE.txt")
+    if os.path.exists(stale):
+        os.remove(stale)
+    write_run_provenance(
+        out_dir, preset=cfg.name, seed=cfg.seed,
+        serving_candidate=serving_candidate_of(out_dir),
+        per_target_csv="countergan_metrics.csv",
+        extra={"classifier_test_accuracy": clf_eval["accuracy"]},
     )
     return {"classifier": clf_eval, "per_target": df, "case_studies": cs,
             "state": state, "history": history}

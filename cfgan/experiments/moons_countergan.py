@@ -92,7 +92,11 @@ def run(cfg=MOONS_COUNTERGAN, out_dir: str | None = None, fresh: bool = False):
             bundle, state, xtr,
             jax.random.fold_in(jax.random.key(cfg.seed), 777),
         )
-        ckpt.save(gen_dir, g_vars)
+        candidate = ("live" if cfg.countergan.ema_decay == 0.0
+                     else "ema_recal_train")
+        ckpt.save(gen_dir, g_vars,
+                  metadata={"serving_selection": {"candidate": candidate,
+                                                  "scores": {}}})
         plot_loss_curves(history, os.path.join(out_dir, "loss_curves.png"))
 
     # ---- stage 3: evaluation (moons/eval_utils.py:227-268) ----
@@ -147,6 +151,22 @@ def run(cfg=MOONS_COUNTERGAN, out_dir: str | None = None, fresh: bool = False):
     plot_decision_boundaries_and_cfs(
         clf_fn, bundle.cf_fn, g_vars, xte, yte, cfg.num_classes,
         os.path.join(out_dir, "boundaries"), key=key,
+    )
+
+    # provenance (cfgan.core.provenance): CSVs <-> served candidate
+    from cfgan.core.provenance import (
+        serving_candidate_of,
+        write_run_provenance,
+    )
+
+    stale = os.path.join(out_dir, "STALE.txt")
+    if os.path.exists(stale):
+        os.remove(stale)
+    write_run_provenance(
+        out_dir, preset=cfg.name, seed=cfg.seed,
+        serving_candidate=serving_candidate_of(out_dir),
+        per_target_csv="countergan_metrics.csv",
+        extra={"classifier_test_accuracy": clf_eval["accuracy"]},
     )
     return {"classifier": clf_eval, "metrics": df, "state": state}
 
