@@ -93,6 +93,13 @@ class CounterGANConfig:
     adv_loss: str = "wasserstein"
     reg_reduction: str = "per_sample_norm"  # per_sample_norm | mean_abs
     clamp_cf: tuple[float, float] | None = None  # mnist clamps to (-1, 1)
+    # out-of-range residual penalty: > 0 adds
+    # lambda_range * mean(relu(x + raw*mask - hi) + relu(lo - x - raw*mask))
+    # to the G loss so the UN-clamped counterfactual itself stays inside
+    # the clamp_cf bounds — making the eval-time clamp a no-op and the
+    # honest and reference (un-clamped, `house eval_utils.py:244-245`)
+    # protocols agree.  Only meaningful with clamp_cf set; 0 disables.
+    lambda_range: float = 0.0
     resample_target: bool = True  # force target != source (tabular/moons)
     # legacy fixed-target mode (`mnist/gan_train.py:17` trains toward ONE
     # class for the whole run); None => per-sample random targets

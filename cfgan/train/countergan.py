@@ -158,6 +158,15 @@ def make_countergan_step(
                 + cfg.lambda_reg_l2 * l2
                 + cfg.lambda_mask * pen
             )
+            if cfg.lambda_range:
+                # keep the UN-clamped counterfactual inside the clamp
+                # bounds (CounterGANConfig.lambda_range): when this term
+                # is driven to zero the eval-time clamp is a no-op, so the
+                # honest and the reference's un-clamped protocols agree
+                un = x + raw_in * mask
+                rng_pen = jnp.mean(jnp.maximum(un - hi, 0.0)
+                                   + jnp.maximum(lo - un, 0.0))
+                total = total + cfg.lambda_range * rng_pen
             terms = cg_losses.CounterGANTerms(adv, cls, l1, l2, pen, total)
             return total, (terms, logits)
 

@@ -40,6 +40,17 @@ RECIPES = {
     "clamp_cls5_250ep": {"lambda_cls": 5.0, "epochs": 250},
     "clamp_hidden64": {"hidden_dim": 64},
     "clamp_reg05": {"lambda_reg_l1": 0.5},
+    # wave 2: the out-of-range residual penalty (lambda_range) keeps the
+    # UN-clamped counterfactual inside [0,1], making the two protocols
+    # agree — wave 1 measured the un-clamped eval of clamp-trained models
+    # as chaotic (as low as 0.76 on seeds where the honest flip was 0.96+)
+    "range10": {"lambda_range": 10.0},
+    "range10_cls5": {"lambda_range": 10.0, "lambda_cls": 5.0},
+    "range10_250ep": {"lambda_range": 10.0, "epochs": 250},
+    "range25_cls5_250ep": {"lambda_range": 25.0, "lambda_cls": 5.0,
+                           "epochs": 250},
+    "range10_reg05_250ep": {"lambda_range": 10.0, "lambda_reg_l1": 0.5,
+                            "epochs": 250},
 }
 
 # the reference's committed per-target flips (its own protocol),
