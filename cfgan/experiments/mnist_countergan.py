@@ -109,6 +109,7 @@ def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
             seed=cfg.seed,
             checkpoint_dir=os.path.join(out_dir, "train_state"),
             checkpoint_every=max(1, cfg.countergan.epochs // 4),
+            resume=not fresh,  # --fresh means FRESH: ignore old train_state
         )
         from cfgan.train.builders import select_g_serving_variables
 

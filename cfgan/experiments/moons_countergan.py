@@ -83,6 +83,7 @@ def run(cfg=MOONS_COUNTERGAN, out_dir: str | None = None, fresh: bool = False):
             log_every=max(1, cfg.countergan.epochs // 10),
             checkpoint_dir=os.path.join(out_dir, "train_state"),
             checkpoint_every=max(1, cfg.countergan.epochs // 4),
+            resume=not fresh,  # --fresh means FRESH: ignore old train_state
         )
         from cfgan.train.builders import g_serving_variables
 

@@ -25,6 +25,7 @@ def train_countergan_loop(
     mesh=None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
+    resume: bool = True,
 ):
     """Runs `epochs` compiled epochs; returns (final state, history).
 
@@ -51,7 +52,7 @@ def train_countergan_loop(
     state = bundle.state
     start_epoch = 0
     history = history if history is not None else {}
-    if checkpoint_dir and ckpt.exists(checkpoint_dir):
+    if resume and checkpoint_dir and ckpt.exists(checkpoint_dir):
         state, start_epoch, saved_hist = ckpt.restore_train_state(
             checkpoint_dir, bundle.state
         )

@@ -122,6 +122,46 @@ def test_midrun_resume_is_bit_identical(moons_data):
     np.testing.assert_array_equal(ref_hist["g_loss"], res_hist["g_loss"])
 
 
+def test_resume_false_ignores_existing_train_state(moons_data):
+    """`--fresh` semantics (round-4 fix): with resume=False the loop must
+    NOT silently continue from an old train_state checkpoint — a completed
+    old run would otherwise make a 'fresh' retrain a no-op."""
+    import tempfile
+
+    from cfgan.core.config import ClassifierConfig, CounterGANConfig
+    from cfgan.models.classifiers import MLPClassifier
+    from cfgan.train.builders import build_moons_countergan
+    from cfgan.train.classifier import train_classifier
+    from cfgan.train.loop import train_countergan_loop
+
+    (xtr, ytr), _, _ = moons_data
+    cfg = CounterGANConfig(lambda_cls=2.0, lambda_reg_l1=5.0,
+                           lambda_reg_l2=5.0, lambda_mask=3.0)
+    clf_model = MLPClassifier()
+    clf_state, _ = train_classifier(
+        clf_model, ClassifierConfig(lr=1e-2, steps=50), (xtr, ytr), seed=1
+    )
+
+    def fresh_bundle():
+        return build_moons_countergan(cfg, clf_model, clf_state, seed=9)
+
+    with tempfile.TemporaryDirectory() as d:
+        # a COMPLETED 2-epoch run leaves a train_state at epoch 2
+        train_countergan_loop(
+            fresh_bundle(), xtr, ytr, epochs=2, batch_size=64, seed=5,
+            log=lambda s: None, checkpoint_dir=d, checkpoint_every=2,
+        )
+        logs = []
+        state, hist = train_countergan_loop(
+            fresh_bundle(), xtr, ytr, epochs=2, batch_size=64, seed=5,
+            log=logs.append, checkpoint_dir=d, checkpoint_every=2,
+            resume=False,
+        )
+        assert not any("resuming" in l for l in logs)
+        assert len(hist["d_loss"]) == 2  # actually trained 2 epochs
+        assert int(state.step) > 0
+
+
 def test_pre_ema_train_state_checkpoint_restores(tmp_path, moons_data):
     """Round-2 `train_state` checkpoints were written before GANState grew
     the optional `g_ema` field; restoring one into a fresh (EMA-less)
