@@ -117,20 +117,43 @@ def run(cfg=HOUSE_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
             checkpoint_every=max(1, cfg.countergan.epochs // 4),
             resume=not fresh,  # --fresh means FRESH: ignore old train_state
         )
-        from cfgan.train.builders import g_serving_variables
+        sel_key = jax.random.fold_in(jax.random.key(cfg.seed), 777)
+        if cfg.countergan.ema_decay > 0.0:
+            # EMA recipe: validation-scored serving-candidate selection as
+            # on MNIST ({live, EMA+recal(train masks), EMA+recal(serving
+            # mask)}), scored under the immutable-complement mask the
+            # tabular serving protocol actually uses.  The validation fold
+            # is the classifier's stratified 15% split (same seed ->
+            # same split).
+            from sklearn.model_selection import train_test_split
 
-        # live vars for the (EMA-less) preset; EMA params + recalibrated BN
-        # stats if the config enables ema_decay (make_bn_recalibrator)
-        g_vars = g_serving_variables(
-            bundle, state, xtr,
-            jax.random.fold_in(jax.random.key(cfg.seed), 777),
-        )
-        candidate = ("live" if cfg.countergan.ema_decay == 0.0
-                     else "ema_recal_train")
+            from cfgan.masks.feature import immutable_complement_mask
+            from cfgan.train.builders import select_g_serving_variables
+
+            _, iva = train_test_split(
+                np.arange(len(ytr)), test_size=0.15, stratify=ytr,
+                random_state=cfg.seed,
+            )
+
+            def _clf_val(x):
+                return clf_model.apply(clf_state.variables(), x, train=False)
+
+            g_vars, sel_info = select_g_serving_variables(
+                bundle, state, xtr, sel_key, xtr[iva], ytr[iva], _clf_val,
+                serving_mask_fn=lambda b: immutable_complement_mask(
+                    b, xtr.shape[1], schema.immutable_idx),
+            )
+            print(f"Serving candidate: {sel_info['candidate']} "
+                  f"(validation scores: {sel_info['scores']})")
+        else:
+            from cfgan.train.builders import g_serving_variables
+
+            # live vars for the EMA-less presets
+            g_vars = g_serving_variables(bundle, state, xtr, sel_key)
+            sel_info = {"candidate": "live", "scores": {}}
         ckpt.save(gen_dir, g_vars,
                   metadata={"stats": stats.to_metadata(),
-                            "serving_selection": {"candidate": candidate,
-                                                  "scores": {}}})
+                            "serving_selection": sel_info})
         plot_loss_curves(history, os.path.join(out_dir, "loss_curves.png"))
 
     # ---- stage 3: evaluation (house eval_utils.py:673-728) ----
