@@ -51,6 +51,15 @@ RECIPES = {
                            "epochs": 250},
     "range10_reg05_250ep": {"lambda_range": 10.0, "lambda_reg_l1": 0.5,
                             "epochs": 250},
+    # wave 3: range10_250ep passed the full bar on seed 44 and missed by
+    # 0.002-0.02 on single targets elsewhere — EMA (the lever that rescued
+    # MNIST's worst seeds) and longer schedules to close the tail
+    "range10_250ep_ema": {"lambda_range": 10.0, "epochs": 250,
+                          "ema_decay": 0.999},
+    "range10_350ep": {"lambda_range": 10.0, "epochs": 350},
+    "range10_350ep_ema": {"lambda_range": 10.0, "epochs": 350,
+                          "ema_decay": 0.999},
+    "range25_250ep": {"lambda_range": 25.0, "epochs": 250},
 }
 
 # the reference's committed per-target flips (its own protocol),
