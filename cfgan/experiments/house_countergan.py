@@ -242,7 +242,14 @@ def main():
     ap.add_argument("--out-dir", type=str, default=None)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu — the axon "
+                         "sitecustomize pins the env var, so use this)")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     from cfgan.core.config import replace as cfg_replace
 
     cfg = HOUSE_COUNTERGAN

@@ -100,9 +100,11 @@ MNIST_COUNTERGAN = MNIST_COUNTERGAN_REFERENCE.replace(
     ),
 )
 
-# house_sales_kc_usa/config.py:13-83
-HOUSE_COUNTERGAN = ExperimentConfig(
-    name="house_countergan",
+# house_sales_kc_usa/config.py:13-83 — the reference's EXACT recipe (50
+# epochs, lambda_cls 2, no clamp/range term), kept first-class for parity
+# runs, mirroring the MNIST_COUNTERGAN_REFERENCE naming.
+HOUSE_COUNTERGAN_REFERENCE = ExperimentConfig(
+    name="house_countergan_reference",
     seed=42,
     num_classes=4,
     data=DataConfig(name="kc_house", batch_size=128),
@@ -130,6 +132,27 @@ HOUSE_COUNTERGAN = ExperimentConfig(
         hidden_dim=32,
         num_res_blocks=5,
         gumbel_tau=0.5,
+    ),
+)
+
+# shipped default: the round-4 recipe-searched winner ("range10_350ep",
+# results/house_recipe_search_wave3/search.jsonl).  Clamp-trained + an
+# out-of-range residual penalty (lambda_range) so the UN-clamped
+# counterfactual stays inside [0,1] and both eval protocols agree; 350
+# epochs closes the worst-seed tail.  The only searched recipe (17
+# candidates x 3 seeds across 3 waves) whose per-target flips meet the
+# reference's committed numbers (1.000/0.991/0.980/0.996,
+# house_sales_kc_usa/results/countergan_metrics.csv:2-5) under the
+# reference's own un-clamped protocol on ALL seeds while every honest
+# clamped flip stays >= 0.98.
+HOUSE_COUNTERGAN = HOUSE_COUNTERGAN_REFERENCE.replace(
+    name="house_countergan",
+    countergan=replace(
+        HOUSE_COUNTERGAN_REFERENCE.countergan,
+        epochs=350,
+        lambda_cls=4.0,
+        clamp_cf=(0.0, 1.0),
+        lambda_range=10.0,
     ),
 )
 
@@ -195,6 +218,7 @@ PRESETS = {
         MNIST_COUNTERGAN,
         MNIST_COUNTERGAN_REFERENCE,
         HOUSE_COUNTERGAN,
+        HOUSE_COUNTERGAN_REFERENCE,
         SIMPLE_GAN_MOONS,
         SIMPLE_GAN_MNIST,
         CGAN_MOONS,
@@ -260,11 +284,12 @@ MNIST_COUNTERGAN2 = ExperimentConfig(
 )
 PRESETS[MNIST_COUNTERGAN2.name] = MNIST_COUNTERGAN2
 
-# improved recipe: identical to HOUSE_COUNTERGAN but the training loss sees
+# round-3 improved recipe: the reference recipe but the training loss sees
 # the clamped counterfactual (train/eval consistency), which reaches the
 # reference's flip rates with counterfactuals that stay in legal data space
-# (RESULTS.md "clamp-trained" row)
-HOUSE_COUNTERGAN_CLAMPED = HOUSE_COUNTERGAN.replace(
+# (RESULTS.md "clamp-trained" row).  Superseded as the default by
+# HOUSE_COUNTERGAN (range10_350ep) above; kept for the round-3 result dirs.
+HOUSE_COUNTERGAN_CLAMPED = HOUSE_COUNTERGAN_REFERENCE.replace(
     name="house_countergan_clamped",
     countergan=CounterGANConfig(
         epochs=150,
