@@ -242,6 +242,11 @@ def main():
     ap.add_argument("--out-dir", type=str, default=None)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--preset", default=None,
+                    help="alternate kc_house preset (e.g. "
+                         "house_countergan_reference — the exact reference "
+                         "recipe — or house_countergan_clamped); default is "
+                         "the shipped recipe-searched house_countergan")
     ap.add_argument("--platform", default=None,
                     help="jax platform override (e.g. cpu — the axon "
                          "sitecustomize pins the env var, so use this)")
@@ -253,6 +258,13 @@ def main():
     from cfgan.core.config import replace as cfg_replace
 
     cfg = HOUSE_COUNTERGAN
+    if args.preset is not None:
+        from cfgan.experiments.presets import PRESETS
+
+        cfg = PRESETS[args.preset]
+        if cfg.countergan is None or cfg.data.name != "kc_house":
+            ap.error(f"--preset {args.preset} is not a kc_house "
+                     "CounteRGAN preset")
     if args.seed is not None:
         cfg = cfg.replace(seed=args.seed)
     if args.epochs is not None:
