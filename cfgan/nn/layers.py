@@ -101,11 +101,19 @@ class Conv(nn.Module):
         fan_in = x.shape[-1] * k * k
         kinit = self.kernel_init or cinit.torch_kernel_init
         binit = cinit.scaled_uniform(fan_in)
-        if (self.impl in ("matmul", "pallas") and k == 3
+        impl = self.impl
+        if (impl == "pallas" and (x.shape[-1] < 16 or self.features < 16)):
+            # Lane-starved channel counts (conv_in's Cin=3, conv_out's
+            # Cout=1) pad to 128 lanes in VMEM and blow the Mosaic scoped
+            # budget (measured: 16.66M vs the 16M stack limit at batch
+            # 128) for near-zero MXU work — keep those on lax.conv and
+            # reserve the kernel for the 64->64 resblock hot path.
+            impl = None
+        if (impl in ("matmul", "pallas") and k == 3
                 and self.stride == 1 and self.padding == 1):
             return _Conv3x3Matmul(
                 self.features, use_bias=self.use_bias, kernel_init=kinit,
-                bias_init=binit, variant=self.impl, name="Conv_0",
+                bias_init=binit, variant=impl, name="Conv_0",
             )(x)
         conv = nn.Conv(
             self.features,

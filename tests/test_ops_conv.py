@@ -135,3 +135,19 @@ def test_generator_conv_impl_is_checkpoint_compatible():
     raw_ref, _ = g_ref.apply(v_ref, x, t, m, train=False)
     raw_alt, _ = g_alt.apply(v_ref, x, t, m, train=False)
     np.testing.assert_allclose(raw_alt, raw_ref, atol=5e-5, rtol=5e-5)
+
+
+def test_pallas_impl_gates_lane_starved_channels():
+    """impl='pallas' routes Cin<16 / Cout<16 convs to lax.conv (the 3-ch
+    conv_in OOM'd Mosaic's 16M scoped-VMEM stack on real TPU); the 64->64
+    hot path keeps the kernel.  Pinned via pallas_call presence in the
+    lowered jaxpr."""
+    def has_pallas(cin, cout):
+        mod = Conv(cout, 3, 1, 1, impl="pallas")
+        x = jnp.zeros((2, 8, 8, cin))
+        v = mod.init(jax.random.key(0), x)
+        return "pallas_call" in str(jax.make_jaxpr(mod.apply)(v, x))
+
+    assert not has_pallas(3, 64)    # conv_in shape
+    assert not has_pallas(64, 1)    # conv_out shape
+    assert has_pallas(64, 64)       # resblock hot path
