@@ -110,6 +110,12 @@ def _conv3x3_pallas_fwd(x: jax.Array, kernel: jax.Array,
         vmem = pltpu.VMEM
         scratch = [pltpu.VMEM((tile_b * h * w, cout), jnp.float32)]
         kwargs = dict(scratch_shapes=scratch)
+        # Cin/Cout=64 pads to 128 VMEM lanes, so the double-buffered
+        # blocks cost ~2x their logical bytes — the default 16M scoped
+        # budget overflows at tile_b=8/batch 128 (measured 16.64M).
+        # Raise the cap (v5e has 128M VMEM per core).
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
         mem = dict(memory_space=vmem)
     except ImportError:  # pragma: no cover - CPU-only builds
         kwargs, mem = {}, {}
