@@ -16,10 +16,18 @@ Writes results/conv_cliff/conv_op_bench.json.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
 
 from cfgan.ops.conv import (
     conv3x3_same_matmul,
@@ -33,10 +41,15 @@ ITERS = 100
 
 
 def xla_conv(x, k):
+    # f32 accumulation requested explicitly for f32 inputs; for bf16 leave
+    # it implicit (the MXU accumulates f32 anyway, and an explicit f32
+    # preferred_element_type breaks the conv transpose rule under bf16
+    # cotangents) — this matches flax nn.Conv, i.e. the production path.
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     return jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     ).astype(x.dtype)
 
 
