@@ -96,54 +96,104 @@ def main() -> None:
 
     rows = []
     for dt_name in args.dtypes.split(","):
-        cdt = jnp.dtype(dt_name)
         cfg, clf_model, clf_state, bundle = make_bundle(dt_name)
         g_model, d_model = bundle.g_model, bundle.d_model
         state = bundle.state
-        g_vars = {"params": state.g.params, **state.g.stats}
-        d_vars = {"params": state.d.params, **state.d.stats}
         clf_vars = {"params": clf_state.params, **clf_state.stats}
+        cd = jnp.dtype(dt_name)
+
+        # mirror builders.build_mnist_countergan EXACTLY: raw apply fns
+        # wrapped in the production mixed-precision boundary, fed f32
+        # arrays (the wrapper owns the casts; feeding pre-cast bf16 inputs
+        # against f32 BN running-stat refs is not a production path)
+        from cfgan.train.builders import make_mixed_precision
+
+        def raw_g_forward(params, stats, x, t, t_oh, mask, key):
+            return g_model.apply({"params": params, **stats}, x, t, mask,
+                                 train=True, mutable=["batch_stats"])
+
+        def raw_d_forward(params, stats, x, t, t_oh, train):
+            return d_model.apply({"params": params, **stats}, x, t), stats
+
+        g_forward = make_mixed_precision(raw_g_forward, dt_name)
+        d_forward = make_mixed_precision(raw_d_forward, dt_name)
+        g_params, g_stats = state.g.params, state.g.stats
+        d_params, d_stats = state.d.params, state.d.stats
 
         @jax.jit
         def g_fwd(x, t, m):
-            return g_model.apply(g_vars, x, t, m, train=True,
-                                 mutable=["batch_stats"])
+            return g_forward(g_params, g_stats, x, t, None, m, None)
 
         @jax.jit
         def g_fwdbwd(x, t, m):
             def loss(p):
-                (raw, masked), _ = g_model.apply(
-                    {**g_vars, "params": p}, x, t, m, train=True,
-                    mutable=["batch_stats"])
+                (raw, masked), _ = g_forward(p, g_stats, x, t, None, m,
+                                             None)
                 return jnp.sum(masked.astype(jnp.float32) ** 2)
-            return jax.grad(loss)(g_vars["params"])
+            return jax.grad(loss)(g_params)
+
+        @jax.jit
+        def g_fwdbwd_x(x, t, m):
+            # backward wrt the INPUT only (transposed-conv dx path, no dK
+            # reductions) — splits the generator backward cliff between
+            # its two conv-gradient computations
+            def loss(xx):
+                (raw, masked), _ = g_forward(g_params, g_stats, xx, t,
+                                             None, m, None)
+                return jnp.sum(masked.astype(jnp.float32) ** 2)
+            return jax.grad(loss)(x)
+
+        # microcosm: 6 chained 64->64 conv3x3 (+ optional batch-norm
+        # math) in plain lax — no flax, no label plane, no mask.  If the
+        # no-BN stack's backward goes superlinear too, the cliff is the
+        # conv gradient inside ANY fused chain; if only the BN stack does,
+        # it's the batch-stats reductions interleaving with dK.
+        def make_stack_loss(use_bn):
+            def loss(ks, x):
+                x = x.astype(cd)
+                for i in range(ks.shape[0]):
+                    x = jax.lax.conv_general_dilated(
+                        x, ks[i].astype(cd), (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    if use_bn:
+                        mu = x.mean((0, 1, 2))
+                        var = x.var((0, 1, 2))
+                        x = (x - mu) * jax.lax.rsqrt(var + 1e-5)
+                    x = jax.nn.leaky_relu(x, 0.2)
+                return jnp.sum(x.astype(jnp.float32) ** 2)
+            return loss
+
+        stack_conv = jax.jit(jax.grad(make_stack_loss(False)))
+        stack_convbn = jax.jit(jax.grad(make_stack_loss(True)))
+        ks6 = jax.random.normal(jax.random.key(5), (6, 3, 3, 64, 64),
+                                jnp.float32) * 0.05
 
         @jax.jit
         def clf_path(xcf, t):
             def loss(xc):
-                lg = clf_model.apply(clf_vars, xc, train=False)
+                lg = clf_model.apply(clf_vars, xc.astype(cd), train=False)
                 lp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=1)
                 return -jnp.mean(lp[jnp.arange(xc.shape[0]), t])
             return jax.grad(loss)(xcf)
 
         @jax.jit
         def d_fwd2b(x2, t2):
-            return d_model.apply(d_vars, x2, t2)
+            return d_forward(d_params, d_stats, x2, t2, None, True)[0]
 
         @jax.jit
         def d_fwdbwd(x2, t2):
             def loss(p):
-                s = d_model.apply({**d_vars, "params": p}, x2, t2)
+                s, _ = d_forward(p, d_stats, x2, t2, None, True)
                 return jnp.mean(s.astype(jnp.float32) ** 2)
-            return jax.grad(loss)(d_vars["params"])
+            return jax.grad(loss)(d_params)
 
         for batch in batches:
             rng = np.random.RandomState(0)
             x = jnp.asarray(rng.uniform(-1, 1, (batch, 28, 28, 1))
-                            .astype(np.float32)).astype(cdt)
+                            .astype(np.float32))
             y = jnp.asarray(rng.randint(0, 10, batch).astype(np.int32))
             t = jnp.asarray(rng.randint(0, 10, batch).astype(np.int32))
-            m = jnp.ones((batch, 28, 28, 1), cdt)
+            m = jnp.ones((batch, 28, 28, 1), jnp.float32)
             x2 = jnp.concatenate([x, x], 0)
             t2 = jnp.concatenate([y, t], 0)
             key = jax.random.key(7)
@@ -181,6 +231,13 @@ def main() -> None:
                 lambda i: g_fwd(x + i * 1e-6, t, m)[0][0]), 4)
             row["g_fwdbwd_ms"] = round(timed(
                 lambda i: g_fwdbwd(x + i * 1e-6, t, m)), 4)
+            row["g_fwdbwd_x_ms"] = round(timed(
+                lambda i: g_fwdbwd_x(x + i * 1e-6, t, m)), 4)
+            x64 = jnp.broadcast_to(x, (batch, 28, 28, 64)) * 1.0
+            row["stack6conv_bwd_ms"] = round(timed(
+                lambda i: stack_conv(ks6, x64 + i * 1e-6)), 4)
+            row["stack6convbn_bwd_ms"] = round(timed(
+                lambda i: stack_convbn(ks6, x64 + i * 1e-6)), 4)
             row["clf_path_ms"] = round(timed(
                 lambda i: clf_path(x + i * 1e-6, t)), 4)
             row["d_fwd2b_ms"] = round(timed(
