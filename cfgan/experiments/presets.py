@@ -136,15 +136,18 @@ HOUSE_COUNTERGAN_REFERENCE = ExperimentConfig(
 )
 
 # shipped default: the round-4 recipe-searched winner ("range10_350ep",
-# results/house_recipe_search_wave3/search.jsonl).  Clamp-trained + an
+# results/house_recipe_search_wave{3,4}/search.jsonl).  Clamp-trained + an
 # out-of-range residual penalty (lambda_range) so the UN-clamped
 # counterfactual stays inside [0,1] and both eval protocols agree; 350
-# epochs closes the worst-seed tail.  The only searched recipe (17
-# candidates x 3 seeds across 3 waves) whose per-target flips meet the
-# reference's committed numbers (1.000/0.991/0.980/0.996,
-# house_sales_kc_usa/results/countergan_metrics.csv:2-5) under the
-# reference's own un-clamped protocol on ALL seeds while every honest
-# clamped flip stays >= 0.98.
+# epochs closes the worst-seed tail.  Best of 13 searched recipes across
+# 4 waves against the reference's committed per-target flips
+# (1.000/0.991/0.980/0.996,
+# house_sales_kc_usa/results/countergan_metrics.csv:2-5): the best seed
+# beats every target under the reference's own un-clamped protocol, all
+# seeds keep every honest clamped flip >= 0.988.  Wave 4 re-validation
+# (post-outage TPU stack) shows the exact per-seed rankings are chaotic
+# to compiler-level numerics; no recipe clears all four reference
+# maxima on every seed under the current stack (RESULTS.md).
 HOUSE_COUNTERGAN = HOUSE_COUNTERGAN_REFERENCE.replace(
     name="house_countergan",
     countergan=replace(
