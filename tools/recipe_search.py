@@ -47,6 +47,22 @@ RECIPES = {
     "cls2_ema_bf16_mix25": {"lambda_cls": 2.0, "ema_decay": 0.999,
                             "compute_dtype": "bfloat16",
                             "mask_ones_fraction": 0.25},
+    # round-4 wave: the shipped default (cls2_ema_bf16 @ 20 epochs) floors
+    # at 0.9836 on seed 42 — longer schedules with the same EMA+selection
+    # serving, hunting a >=0.99 floor on every seed
+    "cls2_e30_ema_bf16": {"lambda_cls": 2.0, "epochs": 30,
+                          "ema_decay": 0.999, "compute_dtype": "bfloat16"},
+    "cls2_e40_ema_bf16": {"lambda_cls": 2.0, "epochs": 40,
+                          "ema_decay": 0.999, "compute_dtype": "bfloat16"},
+    "cls3_e30_ema_bf16": {"lambda_cls": 3.0, "epochs": 30,
+                          "ema_decay": 0.999, "compute_dtype": "bfloat16"},
+    "cls2_e30_ema_bf16_mix10": {"lambda_cls": 2.0, "epochs": 30,
+                                "ema_decay": 0.999,
+                                "compute_dtype": "bfloat16",
+                                "mask_ones_fraction": 0.1},
+    "cls2_e40_ema9995_bf16": {"lambda_cls": 2.0, "epochs": 40,
+                              "ema_decay": 0.9995,
+                              "compute_dtype": "bfloat16"},
 }
 
 
