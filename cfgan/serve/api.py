@@ -21,6 +21,9 @@ Endpoints:
   patch indices, `mnist/gr.py:73-76`), or ``"features"`` (tabular engines:
   allowed feature names, `house gradio_app.py:150-156`); optional ``"seed"``.
   -> the full `CFResult` as JSON lists.
+* ``POST /counterfactual_bulk``  same schema plus optional ``"chunk"``
+  (default 128) -> same response, via the engine's on-device ``lax.scan``
+  bulk path (one dispatch per request, dataset-scale throughput).
 
 Batched and single-sample inputs both work (a single sample comes back as a
 batch of one, matching `CounterfactualEngine.generate`).  The server binds
@@ -129,7 +132,9 @@ def _handle_classify(engine: CounterfactualEngine, body: dict) -> dict:
             "pred": np.argmax(probs, axis=1).tolist()}
 
 
-def _handle_counterfactual(engine: CounterfactualEngine, body: dict) -> dict:
+def _parse_cf_request(engine: CounterfactualEngine, body: dict):
+    """Shared request validation for the counterfactual endpoints:
+    returns `(batched_x, targets, mask, key)` or raises `ApiError`."""
     import jax
 
     x = _as_array(body.get("x"), "x")
@@ -154,7 +159,10 @@ def _handle_counterfactual(engine: CounterfactualEngine, body: dict) -> dict:
     seed = body.get("seed", 0)
     if not isinstance(seed, int) or isinstance(seed, bool):
         raise ApiError("'seed' must be an int")
-    res = engine.generate(batched_x, t, mask=mask, key=jax.random.key(seed))
+    return batched_x, t, mask, jax.random.key(seed)
+
+
+def _cf_payload(res) -> dict:
     return {
         "x_cf": res.x_cf.tolist(),
         "residual": res.residual.tolist(),
@@ -164,6 +172,35 @@ def _handle_counterfactual(engine: CounterfactualEngine, body: dict) -> dict:
         "probs_orig": res.probs_orig.tolist(),
         "flipped": res.flipped.tolist(),
     }
+
+
+def _handle_counterfactual(engine: CounterfactualEngine, body: dict) -> dict:
+    batched_x, t, mask, key = _parse_cf_request(engine, body)
+    res = engine.generate(batched_x, t, mask=mask, key=key)
+    return _cf_payload(res)
+
+
+def _handle_counterfactual_bulk(engine: CounterfactualEngine,
+                                body: dict) -> dict:
+    """Dataset-scale CF sweep over the wire: routes to
+    `CounterfactualEngine.generate_bulk` — the batch is chunked and ONE
+    compiled program scans the fused serving step over the chunks
+    on-device (no host dispatch between chunks; ~one dispatch per 8,192
+    samples at 128.8k cf/s, BASELINE.md "Serving latency").  Same request
+    schema as /counterfactual plus optional ``"chunk"`` (samples per scan
+    chunk, default 128)."""
+    chunk = body.get("chunk", 128)
+    if not isinstance(chunk, int) or isinstance(chunk, bool) \
+            or not 1 <= chunk <= 65536:
+        raise ApiError("'chunk' must be an int in [1, 65536]")
+    batched_x, t, mask, key = _parse_cf_request(engine, body)
+    try:
+        res = engine.generate_bulk(batched_x, t, mask=mask, key=key,
+                                   chunk=chunk)
+    except ValueError as e:
+        # e.g. chunk not divisible by the mesh batch-axis size
+        raise ApiError(str(e)) from e
+    return _cf_payload(res)
 
 
 class ApiStats:
@@ -249,7 +286,8 @@ class CFRequestHandler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         routes = {"/classify": _handle_classify,
-                  "/counterfactual": _handle_counterfactual}
+                  "/counterfactual": _handle_counterfactual,
+                  "/counterfactual_bulk": _handle_counterfactual_bulk}
         handler = routes.get(self.path)
         if handler is None:
             return self._send(404, {"error": f"unknown path {self.path}"})

@@ -127,6 +127,48 @@ def test_client_errors_are_400(api, body, frag):
     assert frag in resp["error"]
 
 
+def test_counterfactual_bulk_matches_engine(api):
+    """/counterfactual_bulk routes through the engine's on-device scan
+    path: same response schema as /counterfactual, values matching
+    `generate_bulk` exactly (chunking included — the padded-chunk key
+    schedule makes bulk results chunk-size-dependent, so the oracle must
+    use the same chunk)."""
+    engine, base, xte = api
+    x = np.asarray(xte[:20])
+    status, body = _post(base, "/counterfactual_bulk",
+                         {"x": x.tolist(), "target": 2, "chunk": 8})
+    assert status == 200
+    ref = engine.generate_bulk(x, target=2, chunk=8)
+    np.testing.assert_allclose(np.asarray(body["x_cf"]), ref.x_cf, rtol=1e-5)
+    assert body["pred"] == ref.pred.tolist()
+    assert body["flipped"] == ref.flipped.tolist()
+    assert len(body["probs"]) == 20 and len(body["probs"][0]) == 3
+
+
+def test_counterfactual_bulk_validation(api):
+    _, base, _ = api
+    status, resp = _post(base, "/counterfactual_bulk",
+                         {"x": [[0.1, 0.2]], "target": 0, "chunk": 0})
+    assert status == 400 and "'chunk'" in resp["error"]
+    status, resp = _post(base, "/counterfactual_bulk",
+                         {"x": [[0.1, 0.2]], "target": 0, "chunk": True})
+    assert status == 400 and "'chunk'" in resp["error"]
+    # shared validation applies to the bulk route too
+    status, resp = _post(base, "/counterfactual_bulk", {"x": [[0.1, 0.2]]})
+    assert status == 400 and "missing required field 'target'" in resp["error"]
+
+
+def test_counterfactual_bulk_default_chunk_and_mask(api):
+    engine, base, xte = api
+    x = np.asarray(xte[:5])
+    status, body = _post(base, "/counterfactual_bulk",
+                         {"x": x.tolist(), "target": 1,
+                          "mask": [0.0, 0.0]})
+    assert status == 200
+    # zero mask => identity counterfactuals through the bulk path
+    np.testing.assert_allclose(np.asarray(body["x_cf"]), x, atol=1e-7)
+
+
 @pytest.fixture(scope="module")
 def image_api():
     """Stub image engine (patch_size 7, 14x14) behind a real server —
