@@ -132,6 +132,18 @@ class CounterGANConfig:
     # lowest-variance arm (worst-seed target-1 flip 0.9815 vs full-bf16
     # 0.9708 / f32 0.9594) at no measurable cost
     cat_head_f32: bool = True
+    # experimental f32 batch-scaling lever (conv-cliff study, VERDICT r4
+    # #5): >= 2 splits the GENERATOR update into this many micro-batches
+    # inside the fused step (grad accumulation via lax.scan), shrinking
+    # the generator-backward activation working set by the same factor —
+    # the direct test of the VMEM-spill hypothesis behind the f32
+    # batch>=256 regression (results/conv_cliff/NOTES.md #4).  Costs one
+    # extra G forward (the D phase no longer shares the G linearization);
+    # BN batch statistics and the tabular Gumbel draws are per
+    # micro-batch during the G-update forwards (standard grad-accum
+    # semantics).  0 disables (production default; equal-size chunks
+    # average to the exact full-batch mean gradient otherwise).
+    g_microbatch: int = 0
     # generator EMA (capability uplift, standard GAN stabilizer): > 0
     # maintains an exponential moving average of G params per STEP inside
     # the fused program (initialized at the init params, so no debias term)

@@ -77,8 +77,14 @@ def make_countergan_step(
     # the fused Pallas epilogue (cfgan.ops.epilogue) on TPU; identical jnp
     # formulation elsewhere
     fused = jax.default_backend() == "tpu"
+    micro = getattr(cfg, "g_microbatch", 0) >= 2
 
     def step(state: GANState, x, y, key):
+        if micro and x.shape[0] % cfg.g_microbatch:
+            raise ValueError(
+                f"g_microbatch={cfg.g_microbatch} must divide the batch "
+                f"size {x.shape[0]}"
+            )
         k_t, k_m, k_g = jax.random.split(jax.random.fold_in(key, state.step), 3)
         if cfg.fixed_target is not None:
             t = jnp.full(y.shape, cfg.fixed_target, jnp.int32)
@@ -88,16 +94,27 @@ def make_countergan_step(
         t_oh = jax.nn.one_hot(t, num_classes, dtype=x.dtype)
         mask = mask_sampler(k_m, x)
 
-        # ---- generator forward, linearization saved for later ----
-        def g_fn(g_params):
-            (raw, masked), new_stats = g_forward(
-                g_params, state.g.stats, x, t, t_oh, mask, k_g
+        # ---- generator forward ----
+        if micro:
+            # micro-batched G update (cfg.g_microbatch >= 2): the D phase
+            # takes a plain forward — the linearization cannot be shared
+            # across the per-chunk scan below
+            (raw, masked), new_g_stats = g_forward(
+                state.g.params, state.g.stats, x, t, t_oh, mask, k_g
             )
-            return (raw, masked), new_stats
+            g_vjp = None
+        else:
+            # linearization saved across the D update; the G gradient is
+            # pulled through it afterwards (fwd+bwd, not 2x fwd+bwd)
+            def g_fn(g_params):
+                (raw, masked), new_stats = g_forward(
+                    g_params, state.g.stats, x, t, t_oh, mask, k_g
+                )
+                return (raw, masked), new_stats
 
-        (raw, masked), g_vjp, new_g_stats = jax.vjp(
-            g_fn, state.g.params, has_aux=True
-        )
+            (raw, masked), g_vjp, new_g_stats = jax.vjp(
+                g_fn, state.g.params, has_aux=True
+            )
         x_cf = jax.lax.stop_gradient(
             cf_epilogue(x, raw, mask, lo, hi, fused)[0]
         )
@@ -134,9 +151,10 @@ def make_countergan_step(
         for d in x.shape[1:]:
             n_features *= d
 
-        def g_terms_fn(raw_in):
-            cf, l1s, l2s, pens = cf_epilogue(x, raw_in, mask, lo, hi, fused)
-            scores, _ = d_forward(d_new.params, d_new.stats, cf, t, t_oh, False)
+        def terms_for(raw_in, xb, tb, tb_oh, mb):
+            cf, l1s, l2s, pens = cf_epilogue(xb, raw_in, mb, lo, hi, fused)
+            scores, _ = d_forward(d_new.params, d_new.stats, cf, tb, tb_oh,
+                                  False)
             if use_bce:
                 adv = gan_losses.g_loss_bce(scores)
             elif clipped:
@@ -146,7 +164,7 @@ def make_countergan_step(
             else:
                 adv = gan_losses.g_loss_wasserstein(scores)
             logits = clf_forward(cf)
-            cls = cg_losses.classifier_ce(logits, t)
+            cls = cg_losses.classifier_ce(logits, tb)
             l1, l2, pen = epilogue_terms(l1s, l2s, pens, n_features,
                                          cfg.reg_reduction)
             if not cfg.lambda_reg_l2:
@@ -163,16 +181,57 @@ def make_countergan_step(
                 # bounds (CounterGANConfig.lambda_range): when this term
                 # is driven to zero the eval-time clamp is a no-op, so the
                 # honest and the reference's un-clamped protocols agree
-                un = x + raw_in * mask
+                un = xb + raw_in * mb
                 rng_pen = jnp.mean(jnp.maximum(un - hi, 0.0)
                                    + jnp.maximum(lo - un, 0.0))
                 total = total + cfg.lambda_range * rng_pen
             terms = cg_losses.CounterGANTerms(adv, cls, l1, l2, pen, total)
             return total, (terms, logits)
 
-        g_grad_fn = jax.value_and_grad(g_terms_fn, has_aux=True)
-        (g_total, (terms, cf_logits)), ct_raw = g_grad_fn(raw)
-        (g_grads,) = g_vjp((ct_raw, jnp.zeros_like(masked)))
+        if micro:
+            # grad accumulation over cfg.g_microbatch equal chunks: each
+            # scan step runs the chunk's G forward + full loss backward,
+            # so the backward activation working set shrinks by the chunk
+            # factor (the conv-cliff VMEM-spill probe).  Equal chunks of
+            # per-sample-mean losses average to the exact full-batch mean
+            # gradient.
+            mbs = x.shape[0] // cfg.g_microbatch
+
+            def chunked(a):
+                return a.reshape((cfg.g_microbatch, mbs) + a.shape[1:])
+
+            def g_chunk_loss(g_params, xb, tb, tb_oh, mb, kg):
+                (rawb, _), _ = g_forward(g_params, state.g.stats, xb, tb,
+                                         tb_oh, mb, kg)
+                return terms_for(rawb, xb, tb, tb_oh, mb)
+
+            def body(acc, chunk):
+                xb, tb, tb_oh, mb, i = chunk
+                (_, (terms, logits)), grads = jax.value_and_grad(
+                    g_chunk_loss, has_aux=True
+                )(state.g.params, xb, tb, tb_oh, mb,
+                  jax.random.fold_in(k_g, i))
+                return (jax.tree_util.tree_map(jnp.add, acc, grads),
+                        (terms, logits))
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.g.params)
+            acc, (terms_st, logits_st) = jax.lax.scan(
+                body, zero,
+                (chunked(x), chunked(t), chunked(t_oh), chunked(mask),
+                 jnp.arange(cfg.g_microbatch)),
+            )
+            g_grads = jax.tree_util.tree_map(
+                lambda a: a / cfg.g_microbatch, acc)
+            terms = jax.tree_util.tree_map(jnp.mean, terms_st)
+            g_total = terms.total
+            cf_logits = logits_st.reshape(x.shape[0], -1)
+        else:
+            g_grad_fn = jax.value_and_grad(
+                lambda raw_in: terms_for(raw_in, x, t, t_oh, mask),
+                has_aux=True,
+            )
+            (g_total, (terms, cf_logits)), ct_raw = g_grad_fn(raw)
+            (g_grads,) = g_vjp((ct_raw, jnp.zeros_like(masked)))
         g_new = state.g.apply_grads(tx_g, g_grads, new_stats=new_g_stats)
 
         # ---- per-step generator EMA (cfg.ema_decay > 0): one fused

@@ -27,7 +27,8 @@ from bench import _setup_compile_cache, fence, log  # noqa: E402
 
 
 def measure(batch: int, conv_impl: str | None, dtype: str,
-            steps: int, hidden: int, blocks: int, reps: int = 3) -> dict:
+            steps: int, hidden: int, blocks: int, reps: int = 3,
+            micro: int = 0) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,6 +49,7 @@ def measure(batch: int, conv_impl: str | None, dtype: str,
         compute_dtype=dtype,
         ema_decay=0.999,
         conv_impl=conv_impl,
+        g_microbatch=micro,
     )
     clf_model = CNNClassifier()
     clf_state = NetState.create(
@@ -79,6 +81,7 @@ def measure(batch: int, conv_impl: str | None, dtype: str,
         "batch": batch,
         "conv_impl": conv_impl or "xla",
         "dtype": dtype,
+        "g_microbatch": micro,
         "ms_per_step": round(dt / steps * 1e3, 3),
         "images_per_sec": round(n / dt, 1),
         "compile_s": round(compile_s, 1),
@@ -94,6 +97,13 @@ def main():
     ap.add_argument("--batches", default="128,256,512")
     ap.add_argument("--dtypes", default="float32,bfloat16")
     ap.add_argument("--impls", default="xla,matmul")
+    ap.add_argument("--micro", default="0",
+                    help="comma list of g_microbatch values (0 = off); the "
+                         "grid crosses these with batches/dtypes/impls — "
+                         "the VMEM-spill probe from NOTES.md #4")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge rows into an existing conv_cliff.json "
+                         "instead of overwriting (dedup by config tuple)")
     ap.add_argument("--out", default="results/conv_cliff")
     args = ap.parse_args()
 
@@ -111,17 +121,30 @@ def main():
     dtypes = (["float32"] if args.smoke else args.dtypes.split(","))
     impls = [None if s == "xla" else s for s in args.impls.split(",")]
 
+    micros = [0] if args.smoke else [int(m) for m in args.micro.split(",")]
+
     rows = []
     for dtype in dtypes:
         for batch in batches:
             for impl in impls:
-                rows.append(measure(batch, impl, dtype, steps, hidden,
-                                    blocks, reps=1 if args.smoke else 3))
+                for micro in micros:
+                    rows.append(measure(batch, impl, dtype, steps, hidden,
+                                        blocks, reps=1 if args.smoke else 3,
+                                        micro=micro))
     os.makedirs(args.out, exist_ok=True)
+    out_path = os.path.join(args.out, "conv_cliff.json")
+    if args.merge and os.path.exists(out_path):
+        with open(out_path) as f:
+            old = json.load(f)
+        seen = {(r["batch"], r["conv_impl"], r["dtype"],
+                 r.get("g_microbatch", 0)) for r in rows}
+        rows = [r for r in old.get("rows", [])
+                if (r["batch"], r["conv_impl"], r["dtype"],
+                    r.get("g_microbatch", 0)) not in seen] + rows
     payload = {"device": str(jax.devices()[0]), "rows": rows,
                "steps_per_epoch": steps,
                "note": "scanned production epoch, fetch-fenced"}
-    with open(os.path.join(args.out, "conv_cliff.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))
 
