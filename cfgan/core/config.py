@@ -144,6 +144,14 @@ class CounterGANConfig:
     # semantics).  0 disables (production default; equal-size chunks
     # average to the exact full-batch mean gradient otherwise).
     g_microbatch: int = 0
+    # epoch-snapshot serving selection (cfgan.train.selection): > 0 makes
+    # the experiment mains score serving candidates every K epochs on the
+    # validation fold and ship the trajectory's best snapshot instead of
+    # the final epoch (the reference always serves the final epoch,
+    # `mnist/trainer.py:163`, `house trainer.py:378`).  0 = final-epoch
+    # serving (with the end-of-training {live, EMA+recal} selection when
+    # ema_decay > 0).
+    snapshot_every: int = 0
     # generator EMA (capability uplift, standard GAN stabilizer): > 0
     # maintains an exponential moving average of G params per STEP inside
     # the fused program (initialized at the init params, so no debias term)

@@ -46,6 +46,40 @@ def immutable_mask(batch: int, schema: TabularSchema) -> jnp.ndarray:
                                      schema.immutable_idx)
 
 
+def make_protocol_flip_scorer(cf_fn, clf_fn, num_classes: int):
+    """Jitted per-target flip rates under BOTH eval protocols at once.
+
+    Returns `score(g_vars, x, y, mask, keys)` -> `(honest, ref)`, each of
+    shape (K, C): honest = flips of the clamped counterfactual (this
+    framework's headline), ref = flips of the UN-clamped `x + masked`
+    the reference's eval scores (`house eval_utils.py:244-245`), per
+    Gumbel eval key in `keys` (vmapped — average over keys to shrink the
+    sampling noise that round-4's single-key selection was exposed to).
+    Used by the snapshot-selection stage of the house experiment main and
+    by tools/house_ladder_matrix.py."""
+
+    @jax.jit
+    def score(g_vars, x, y, mask, keys):
+        def one_key(key):
+            def one_t(t):
+                tvec = jnp.full((x.shape[0],), t, jnp.int32)
+                x_cf, raw, masked = cf_fn(g_vars, x, tvec, mask, key)
+                x_ref = x + masked
+                ph = jnp.argmax(clf_fn(x_cf), 1)
+                pr = jnp.argmax(clf_fn(x_ref), 1)
+                sel = y != t
+                n = jnp.sum(sel)
+                return (jnp.sum((ph == t) & sel) / n,
+                        jnp.sum((pr == t) & sel) / n)
+
+            return jax.vmap(one_t)(jnp.arange(num_classes))
+
+        fh, fr = jax.vmap(one_key)(keys)
+        return fh, fr
+
+    return score
+
+
 @functools.lru_cache(maxsize=64)
 def _make_sweep(cf_fn, clf_fn, num_classes: int):
     """Compiled all-target sweep, cached per (cf_fn, clf_fn) pair so repeat

@@ -107,6 +107,66 @@ def run(cfg=HOUSE_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
         history = {}
         print(f"Loaded generator from {gen_dir}")
     else:
+        sel_key = jax.random.fold_in(jax.random.key(cfg.seed), 777)
+        selector = None
+        if cfg.countergan.snapshot_every:
+            # epoch-snapshot serving selection (VERDICT r4 #1-2): score
+            # the trajectory's serving candidates under BOTH eval
+            # protocols and ship the best snapshot.  Score =
+            # lexicographic sorted margins of the reference-protocol
+            # flips over the reference's committed per-target values
+            # (3-key Gumbel average), honest-floor final tie-break — see
+            # cfgan.train.selection.lex_margins for why plain min-margin
+            # ties out at the reference's exact-1.0 targets.  The scoring
+            # fold is the classifier's stratified validation fold PLUS a
+            # fixed 8,192-sample training subsample (test is never seen):
+            # the 2.6k validation fold alone has ~0.004 flip noise, as
+            # large as the margins being ranked, and the widened fold is
+            # the variant whose selections beat the reference on every
+            # seed in the ladder-matrix study
+            # (results/house_ladder_matrix*/).
+            from sklearn.model_selection import train_test_split
+
+            from cfgan.experiments.presets import HOUSE_REFERENCE_FLIPS
+            from cfgan.train.selection import SnapshotSelector, lex_margins
+
+            _, iva = train_test_split(
+                np.arange(len(ytr)), test_size=0.15, stratify=ytr,
+                random_state=cfg.seed,
+            )
+            sub = np.random.RandomState(0).permutation(
+                len(ytr))[:min(8192, len(ytr))]
+            idx_score = np.concatenate([iva, sub])
+            xsc_j = jnp.asarray(xtr[idx_score])
+            ysc_j = jnp.asarray(ytr[idx_score])
+            sc_mask = immutable_mask(len(idx_score), schema)
+            clf_vars_sel = clf_state.variables()
+            from cfgan.eval.tabular import make_protocol_flip_scorer
+
+            flip_scorer = make_protocol_flip_scorer(
+                bundle.cf_fn,
+                lambda x: clf_model.apply(clf_vars_sel, x, train=False),
+                cfg.num_classes,
+            )
+            score_keys = jnp.stack([
+                jax.random.fold_in(jax.random.key(cfg.seed), 9000 + i)
+                for i in range(3)
+            ])
+
+            def snapshot_score(g_vars):
+                fh, fr = flip_scorer(g_vars, xsc_j, ysc_j, sc_mask,
+                                     score_keys)
+                fh = np.mean(np.asarray(fh), axis=0)
+                fr = np.mean(np.asarray(fr), axis=0)
+                return lex_margins(fr, HOUSE_REFERENCE_FLIPS) + (
+                    float(fh.min()),)
+
+            selector = SnapshotSelector(
+                bundle, score_fn=snapshot_score,
+                every=cfg.countergan.snapshot_every,
+                total_epochs=cfg.countergan.epochs,
+                x_recal=xtr, recal_key=sel_key,
+            )
         state, history = train_countergan_loop(
             bundle, xtr, ytr,
             epochs=cfg.countergan.epochs,
@@ -116,9 +176,13 @@ def run(cfg=HOUSE_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
             checkpoint_dir=os.path.join(out_dir, "train_state"),
             checkpoint_every=max(1, cfg.countergan.epochs // 4),
             resume=not fresh,  # --fresh means FRESH: ignore old train_state
+            epoch_cb=selector.epoch_cb if selector is not None else None,
         )
-        sel_key = jax.random.fold_in(jax.random.key(cfg.seed), 777)
-        if cfg.countergan.ema_decay > 0.0:
+        if selector is not None:
+            g_vars, sel_info = selector.best()
+            print(f"Serving candidate: {sel_info['candidate']} "
+                  f"(ladder of {len(sel_info['ladder'])} scored snapshots)")
+        elif cfg.countergan.ema_decay > 0.0:
             # EMA recipe: validation-scored serving-candidate selection as
             # on MNIST ({live, EMA+recal(train masks), EMA+recal(serving
             # mask)}), scored under the immutable-complement mask the
@@ -224,9 +288,12 @@ def run(cfg=HOUSE_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
     stale = os.path.join(out_dir, "STALE.txt")
     if os.path.exists(stale):
         os.remove(stale)
+    gen_meta = ckpt.load_metadata(gen_dir) or {}
+    sel_meta = gen_meta.get("serving_selection") or {}
     write_run_provenance(
         out_dir, preset=cfg.name, seed=cfg.seed,
         serving_candidate=serving_candidate_of(out_dir),
+        selection_scores=sel_meta.get("scores"),
         per_target_csv="countergan_metrics.csv",
         extra={"classifier_test_accuracy": clf_eval["accuracy"]},
     )

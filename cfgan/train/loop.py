@@ -2,7 +2,7 @@
 from __future__ import annotations
 
 import time
-from typing import Callable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +26,7 @@ def train_countergan_loop(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     resume: bool = True,
+    epoch_cb: Callable[[int, Any], None] | None = None,
 ):
     """Runs `epochs` compiled epochs; returns (final state, history).
 
@@ -46,7 +47,13 @@ def train_countergan_loop(
     every K epochs; an interrupted run restarted with the same arguments
     resumes from the last checkpoint and — because per-epoch keys are
     derived statelessly as fold_in(key, 2*epoch) — produces a continuation
-    bit-identical to the uninterrupted run."""
+    bit-identical to the uninterrupted run.
+
+    `epoch_cb(epoch_1based, state)` is called after every epoch — the
+    snapshot-selection hook (`cfgan.train.selection.SnapshotSelector`).
+    The callback must not keep device references to `state` beyond the
+    call (the scanned epoch donates its input state); host-copy anything
+    it keeps."""
     from cfgan.core import checkpoint as ckpt
 
     state = bundle.state
@@ -92,6 +99,8 @@ def train_countergan_loop(
                 and (epoch + 1) % checkpoint_every == 0):
             ckpt.save_train_state(checkpoint_dir, state, epoch,
                                   history=history)
+        if epoch_cb is not None:
+            epoch_cb(epoch + 1, state)
     history["wall_time_s"] = time.perf_counter() - t0
     return state, history
 

@@ -38,7 +38,11 @@ def test_house_experiment_end_to_end(tmp_path):
     assert len(df) == 4 and "class_flip_rate" in df
 
     rec = check_run_provenance(out)
-    assert rec["serving_candidate"] == "live"  # EMA-less preset
+    # the default preset ships an epoch-snapshot serving candidate
+    # (snapshot_every > 0) selected from {live, ema_recal_train/ones}
+    assert rec["serving_candidate"].startswith("snapshot_e")
+    sel = rec["selection_scores"]
+    assert rec["serving_candidate"] in sel
     assert rec["preset"] == cfg.name and rec["seed"] == 7
     assert rec["per_target_flip_min"] == pytest.approx(
         float(df["class_flip_rate"].min()))

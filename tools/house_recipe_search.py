@@ -70,6 +70,12 @@ RECIPES = {
                            "epochs": 350},
     "range10_cls6_350ep": {"lambda_range": 10.0, "lambda_cls": 6.0,
                            "epochs": 350},
+    # round 5: EMA-tracking twin of wave-4's seed-43 winner — EMA is
+    # passive (training trajectory identical to range10_cls5_350ep), it
+    # just adds the EMA+BN-recal serving candidates to the snapshot
+    # ladder (tools/house_ladder_matrix.py)
+    "range10_cls5_350ep_ema": {"lambda_range": 10.0, "lambda_cls": 5.0,
+                               "epochs": 350, "ema_decay": 0.999},
 }
 
 # the reference's committed per-target flips (its own protocol),
