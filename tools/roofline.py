@@ -65,12 +65,24 @@ def main():
                          "--batch is given)")
     ap.add_argument("--latency-iters", type=int, default=200,
                     help="chain length N for --latency (timed at N and 2N)")
+    ap.add_argument("--family", default=None,
+                    help="roofline a generation-family train step instead "
+                         "of the flagship (preset name, e.g. wgan_gp_mnist "
+                         "or dcgan_mnist) — VERDICT r4 #7: achieved-vs-peak "
+                         "for the non-flagship families")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu — the axon "
+                         "sitecustomize pins the env default, so CPU smokes "
+                         "need this to stay off the shared TPU)")
     args = ap.parse_args()
 
     from bench import _setup_compile_cache
 
     _setup_compile_cache()  # env var alone is ignored on this platform
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
 
@@ -79,25 +91,58 @@ def main():
     from cfgan.train.builders import build_mnist_countergan
     from cfgan.train.state import NetState, adam_like_torch
 
-    cfg = CounterGANConfig(
-        adv_loss="bce", reg_reduction="mean_abs", clamp_cf=(-1.0, 1.0),
-        resample_target=False, num_res_blocks=6, hidden_dim=64,
-        compute_dtype=args.dtype,
-        mask=MaskConfig(kind="patch", patch_size=7, num_modifiable_patches=10),
-    )
-    clf_model = CNNClassifier()
-    clf_state = NetState.create(
-        clf_model.init(jax.random.key(1), jnp.zeros((2, 28, 28, 1)),
-                       train=False),
-        adam_like_torch(1e-3),
-    )
-    bundle = build_mnist_countergan(cfg, clf_model, clf_state, seed=0)
-
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.uniform(-1, 1, (args.batch, 28, 28, 1))
-                    .astype(np.float32))
-    y = jnp.asarray(rng.randint(0, 10, args.batch).astype(np.int32))
     key = jax.random.key(0)
+
+    if args.family:
+        # non-flagship family roofline (reference-preset widths, production
+        # batch unless --batch overrides): same cost-model + fetch-fenced
+        # timing as the flagship path below
+        from cfgan.experiments.presets import PRESETS
+        from cfgan.train.gan_builders import build_gan
+
+        shapes = {"simple_gan_moons": ((2,), 0),
+                  "simple_gan_mnist": ((28, 28, 1), 0),
+                  "cgan_moons": ((2,), 2),
+                  "wgan_gp_mnist": ((28, 28, 1), 10),
+                  "dcgan_mnist": ((64, 64, 1), 0)}
+        if args.family not in shapes:
+            ap.error(f"--family must be one of {sorted(shapes)}")
+        tail, ncls = shapes[args.family]
+        fam_cfg = PRESETS[args.family]
+        batch = args.batch if args.batch != 128 else fam_cfg.data.batch_size
+        from cfgan.core.config import replace as cfg_replace
+
+        gan_cfg = cfg_replace(fam_cfg.gan, compute_dtype=args.dtype)
+        bundle = build_gan(gan_cfg, num_classes=ncls, seed=0)
+        x = jnp.asarray(rng.uniform(-1, 1, (batch, *tail)).astype(np.float32))
+        y = jnp.asarray(rng.randint(0, max(1, ncls), batch).astype(np.int32))
+        args.batch = batch
+        program = f"train_step_{args.family}"
+        fn_args = (bundle.state, x, y, key)
+        compiled = jax.jit(
+            bundle.step_fn, donate_argnums=(0,)
+        ).lower(*fn_args).compile()
+
+    if not args.family:
+        cfg = CounterGANConfig(
+            adv_loss="bce", reg_reduction="mean_abs", clamp_cf=(-1.0, 1.0),
+            resample_target=False, num_res_blocks=6, hidden_dim=64,
+            compute_dtype=args.dtype,
+            mask=MaskConfig(kind="patch", patch_size=7,
+                            num_modifiable_patches=10),
+        )
+        clf_model = CNNClassifier()
+        clf_state = NetState.create(
+            clf_model.init(jax.random.key(1), jnp.zeros((2, 28, 28, 1)),
+                           train=False),
+            adam_like_torch(1e-3),
+        )
+        bundle = build_mnist_countergan(cfg, clf_model, clf_state, seed=0)
+
+        x = jnp.asarray(rng.uniform(-1, 1, (args.batch, 28, 28, 1))
+                        .astype(np.float32))
+        y = jnp.asarray(rng.randint(0, 10, args.batch).astype(np.int32))
 
     if args.bulk:
         from bench import fence
@@ -186,7 +231,9 @@ def main():
         }, indent=1))
         return
 
-    if args.serving:
+    if args.family:
+        pass  # compiled/fn_args/program built in the family branch above
+    elif args.serving:
         from cfgan.serve.engine import CounterfactualEngine
 
         engine = CounterfactualEngine.from_bundle(bundle, clf_model,
