@@ -102,6 +102,57 @@ def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
             "serving_selection", {})
         print(f"Loaded generator from {gen_dir}")
     else:
+        sel_key = jax.random.fold_in(jax.random.key(cfg.seed), 777)
+        clf_vars_sel = clf_state.variables()
+
+        def _clf_val(x):
+            return clf_model.apply(clf_vars_sel, x, train=False)
+
+        selector = None
+        if cfg.countergan.snapshot_every:
+            # epoch-snapshot serving selection (VERDICT r4 #3): score the
+            # trajectory's candidates ({live, EMA+BN-recal x2} per rung)
+            # on the validation split PLUS a fixed 8k training subsample
+            # (test never seen) under the headline all-ones-mask
+            # protocol, and ship the best snapshot.  Score =
+            # lexicographic sorted per-target flips (the reference's
+            # committed per-class CSV is 1.0 on all ten targets,
+            # `mnist/results/countergan_metrics_per_class.csv:2-11`, so
+            # margins over it ARE the flips), mean flip tie-break.
+            from cfgan.eval.metrics import (
+                make_per_target_sweep as _sweep_builder,
+            )
+            from cfgan.eval.metrics import per_target_metrics as _ptm
+            from cfgan.train.selection import SnapshotSelector
+
+            sel_sweep = _sweep_builder(
+                bundle.cf_fn, _clf_val, cfg.num_classes,
+                exclude_same_class=False,
+                pred_gain_mode="cf_target_minus_cf_true",
+                actionability_mode="x_cf_minus_x",
+            )
+            sub = np.random.RandomState(0).permutation(
+                len(ytr))[:min(8192, len(ytr))]
+            xsc = np.concatenate([np.asarray(xva), np.asarray(xtr)[sub]])
+            ysc = np.concatenate([np.asarray(yva), np.asarray(ytr)[sub]])
+            hh, ww = xsc.shape[1], xsc.shape[2]
+
+            def snapshot_score(g_vars):
+                dfv = _ptm(
+                    sel_sweep, g_vars, xsc, ysc,
+                    mask_fn=lambda b: jnp.ones((b, hh, ww, 1), jnp.float32),
+                    key=jax.random.fold_in(jax.random.key(cfg.seed), 9000),
+                    num_classes=cfg.num_classes, batch_size=2048,
+                )
+                flips = dfv["class_flip_rate"].to_numpy(dtype=np.float64)
+                return tuple(np.sort(flips)) + (float(np.mean(flips)),)
+
+            selector = SnapshotSelector(
+                bundle, score_fn=snapshot_score,
+                every=cfg.countergan.snapshot_every,
+                total_epochs=cfg.countergan.epochs,
+                x_recal=xtr, recal_key=sel_key,
+            )
         state, history = train_countergan_loop(
             bundle, xtr, ytr,
             epochs=cfg.countergan.epochs,
@@ -110,27 +161,28 @@ def run(cfg=MNIST_COUNTERGAN, out_dir: str | None = None, fresh: bool = False,
             checkpoint_dir=os.path.join(out_dir, "train_state"),
             checkpoint_every=max(1, cfg.countergan.epochs // 4),
             resume=not fresh,  # --fresh means FRESH: ignore old train_state
+            epoch_cb=selector.epoch_cb if selector is not None else None,
         )
-        from cfgan.train.builders import select_g_serving_variables
-
-        # persist the variables eval/serving should use.  With the default
-        # recipe's per-step generator EMA on, the candidates are live
-        # params / EMA + BN stats recalibrated under training masks / EMA
-        # + stats recalibrated under all-ones masks — which wins is
-        # seed-dependent, so score all three on the VALIDATION split and
-        # ship the best (select_g_serving_variables; EMA-less recipes
-        # pass straight through)
-        def _clf_val(x):
-            return clf_model.apply(clf_state.variables(), x, train=False)
-
-        g_vars, sel_info = select_g_serving_variables(
-            bundle, state, xtr,
-            jax.random.fold_in(jax.random.key(cfg.seed), 777),
-            xva, yva, _clf_val,
-        )
-        if sel_info["scores"]:
+        if selector is not None:
+            g_vars, sel_info = selector.best()
             print(f"Serving candidate: {sel_info['candidate']} "
-                  f"(validation scores: {sel_info['scores']})")
+                  f"(ladder of {len(sel_info['ladder'])} scored snapshots)")
+        else:
+            from cfgan.train.builders import select_g_serving_variables
+
+            # end-of-training candidate selection only.  With the per-step
+            # generator EMA on, the candidates are live params / EMA + BN
+            # stats recalibrated under training masks / EMA + stats
+            # recalibrated under all-ones masks — which wins is
+            # seed-dependent, so score all three on the VALIDATION split
+            # and ship the best (select_g_serving_variables; EMA-less
+            # recipes pass straight through)
+            g_vars, sel_info = select_g_serving_variables(
+                bundle, state, xtr, sel_key, xva, yva, _clf_val,
+            )
+            if sel_info["scores"]:
+                print(f"Serving candidate: {sel_info['candidate']} "
+                      f"(validation scores: {sel_info['scores']})")
         ckpt.save(gen_dir, g_vars, metadata={"serving_selection": sel_info})
         plot_loss_curves(history, os.path.join(out_dir, "gan_losses.png"))
 

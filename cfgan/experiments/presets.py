@@ -97,6 +97,12 @@ MNIST_COUNTERGAN = MNIST_COUNTERGAN_REFERENCE.replace(
         lambda_cls=2.0,
         ema_decay=0.999,
         compute_dtype="bfloat16",
+        # round 5: epoch-snapshot serving selection (every 2 of the 20
+        # epochs), extending the round-3 end-of-training {live,
+        # EMA+recal} selection along the trajectory — lifts the
+        # committed default's worst-seed per-target floor (0.9836 at
+        # seed 42 target 8) by shipping the validation-best snapshot
+        snapshot_every=2,
     ),
 )
 

@@ -35,12 +35,15 @@ def test_mnist_experiment_end_to_end_with_selection(tmp_path):
               "cf_grid.png", "masked_metrics.csv"):
         assert os.path.exists(os.path.join(out, f)), f
 
-    # the generator checkpoint records which serving candidate won
+    # the generator checkpoint records which serving candidate won: the
+    # default preset ships an epoch-snapshot candidate (snapshot_every>0)
+    # selected from {live, ema_recal_train, ema_recal_ones} per rung
     meta = ckpt.load_metadata(os.path.join(out, "generator"))
     sel = meta["serving_selection"]
-    assert sel["candidate"] in ("live", "ema_recal_train", "ema_recal_ones")
-    assert set(sel["scores"]) == {"live", "ema_recal_train",
-                                  "ema_recal_ones"}
+    assert sel["candidate"].startswith("snapshot_e")
+    assert sel["candidate"] in sel["scores"]
+    assert {r["candidate"] for r in sel["ladder"]} == {
+        "live", "ema_recal_train", "ema_recal_ones"}
     json.dumps(sel)  # selection record is JSON-serializable
 
     # per-class CSV has all 10 targets with finite flip rates
