@@ -1,5 +1,14 @@
 """Epoch-snapshot serving selection for the house CounteRGAN default.
 
+ROUND-5 STATUS: superseded as a shipping mechanism — snapshot selection
+is now wired into the experiment main itself
+(`cfgan.experiments.house_countergan` + `cfgan.train.selection`, enabled
+by `CounterGANConfig.snapshot_every`), with an improved score
+(lexicographic sorted margins on a val+8k-train fold; see
+`tools/house_ladder_matrix.py` for the study that chose it).  Kept as
+the round-4 research artifact that established the trajectory-selection
+idea (results/house_snapshot_select*/).
+
 Wave 4 (`results/house_recipe_search_wave4/search.json`) measured that no
 END-OF-TRAINING recipe of 13 tried clears the reference's committed
 per-target flips (1.000/0.991/0.980/0.996,
