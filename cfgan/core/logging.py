@@ -50,3 +50,28 @@ class MetricLogger:
         if self._fh is not None:
             self._fh.close()
             self._fh = None
+
+
+def setup_compile_cache(cache_dir: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache.
+
+    On this TPU platform the `JAX_COMPILATION_CACHE_DIR` env var is
+    ignored (the config must be set through `jax.config`), and the first
+    remote compile of a fused train step costs minutes — cache it across
+    runs.  Default location: `~/.cache/cfgan/jax_cache`, overridable via
+    the `CFGAN_JAX_CACHE` env var or the argument.  Returns the directory
+    used.  Called by the experiment mains; `bench.py` has its own
+    repo-local variant."""
+    import os
+
+    import jax
+
+    cache_dir = (cache_dir or os.environ.get("CFGAN_JAX_CACHE")
+                 or os.path.expanduser("~/.cache/cfgan/jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass
+    return cache_dir

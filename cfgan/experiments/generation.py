@@ -140,6 +140,9 @@ def main():
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--out-dir", type=str, default=None)
     args = ap.parse_args()
+    from cfgan.core.logging import setup_compile_cache
+
+    setup_compile_cache()  # persistent XLA cache (remote compiles cost minutes)
     run(args.preset, epochs=args.epochs, limit=args.limit,
         out_dir=args.out_dir)
 

@@ -318,6 +318,9 @@ def main():
                     help="jax platform override (e.g. cpu — the axon "
                          "sitecustomize pins the env var, so use this)")
     args = ap.parse_args()
+    from cfgan.core.logging import setup_compile_cache
+
+    setup_compile_cache()  # persistent XLA cache (remote compiles cost minutes)
     if args.platform:
         import jax
 

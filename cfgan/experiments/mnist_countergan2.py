@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--out-dir", type=str, default=None)
     ap.add_argument("--fresh", action="store_true")
     args = ap.parse_args()
+    from cfgan.core.logging import setup_compile_cache
+
+    setup_compile_cache()  # persistent XLA cache (remote compiles cost minutes)
     if not 0 <= args.target <= 9:
         ap.error("--target must be in 0..9")
 

@@ -186,6 +186,9 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="jax platform override (e.g. cpu)")
     args = ap.parse_args()
+    from cfgan.core.logging import setup_compile_cache
+
+    setup_compile_cache()  # persistent XLA cache (remote compiles cost minutes)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     from cfgan.core.config import replace as cfg_replace
