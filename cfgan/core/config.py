@@ -116,13 +116,15 @@ class CounterGANConfig:
     # (jax.checkpoint): trades ~1/3 more FLOPs for O(depth) less activation
     # memory — the knob for scaling G depth/width beyond HBM
     remat: bool = False
-    # image generator 3x3-conv lowering: None/"xla" = lax.conv (default),
-    # "matmul" = shifted-tap matmul decomposition (cfgan.ops.conv) that
-    # routes the hot resblock convs through XLA's dot tilings instead of
-    # its conv tilings, "pallas" = hand-written Pallas TPU kernel (nine
-    # VMEM-resident MXU dots per batch tile, matmul-decomposition custom
-    # VJP) — the levers for the batch>=256 conv-tiling cliff
-    # (BASELINE.md "Batch scaling"; bench with tools/conv_cliff_bench.py)
+    # image generator 3x3-conv lowering: None/"xla" = lax.conv (the
+    # production path — XLA's native conv tilings win at these shapes).
+    # EXPERIMENTAL alternatives, kept for study (both measured strictly
+    # slower, results/conv_cliff/NOTES.md #5/#7): "matmul" = shifted-tap
+    # matmul decomposition (cfgan.ops.conv, 6-20x slower per-op),
+    # "pallas" = hand-written Pallas TPU kernel (nine VMEM-resident MXU
+    # dots per batch tile, matmul-decomposition custom VJP; compiles on
+    # the current stack, 12-13x slower in the full step).  Bench with
+    # tools/conv_cliff_bench.py.
     conv_impl: str | None = None
     # tabular only: run the categorical heads + Gumbel-Softmax in f32 under
     # bf16 compute (exp((logits+g)/tau) at tau=0.5 amplifies bf16 logit
