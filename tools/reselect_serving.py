@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="jax platform override (e.g. cpu — the axon "
                     "sitecustomize pins the env default)")
+    ap.add_argument("--force", action="store_true",
+                    help="reselect even when the dir currently serves an "
+                    "epoch snapshot (which this tool would downgrade)")
     args = ap.parse_args()
 
     import jax
@@ -109,6 +112,19 @@ def main():
         def clf_fn(x, clf_vars=clf_vars, clf_model=clf_model):
             return clf_model.apply(clf_vars, x, train=False)
 
+        # round-5 guard: a dir whose checkpoint serves an epoch SNAPSHOT
+        # (snapshot-selection default) cannot be improved by this tool —
+        # train_state holds only the END-OF-TRAINING state, so reselecting
+        # from it would silently downgrade the served generator
+        from cfgan.core.provenance import serving_candidate_of
+
+        cur = serving_candidate_of(out)
+        if cur and cur.startswith("snapshot_") and not args.force:
+            print(f"{out}: serves {cur!r} (trajectory snapshot) — "
+                  "reselection from the end-of-training state would "
+                  "downgrade it; rerun the experiment main with --fresh "
+                  "instead, or pass --force", flush=True)
+            continue
         bundle = build_mnist_countergan(
             cfg.countergan, clf_model, clf_state,
             num_classes=cfg.num_classes, seed=cfg.seed)
