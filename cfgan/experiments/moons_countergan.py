@@ -75,6 +75,46 @@ def run(cfg=MOONS_COUNTERGAN, out_dir: str | None = None, fresh: bool = False):
         history = {}
         print(f"Loaded generator from {gen_dir}")
     else:
+        sel_key = jax.random.fold_in(jax.random.key(cfg.seed), 777)
+        selector = None
+        if cfg.countergan.snapshot_every:
+            # epoch-snapshot serving selection (same mechanism as the
+            # MNIST/house mains, cfgan.train.selection): score each
+            # rung's candidates by sorted per-target flips on the
+            # TRAINING set (moons has no validation split — the dataset
+            # is synthetic and tiny; test is never seen), mean tie-break
+            from cfgan.masks.feature import immutable_complement_mask
+            from cfgan.train.selection import SnapshotSelector
+
+            sel_sweep = make_per_target_sweep(
+                bundle.cf_fn,
+                lambda x: clf_model.apply(clf_state.variables(), x,
+                                          train=False),
+                cfg.num_classes,
+                exclude_same_class=True,
+                pred_gain_mode="cf_target_minus_orig_target",
+                actionability_mode="masked_residual",
+            )
+            xsc = np.asarray(xtr)
+            ysc = np.asarray(ytr)
+
+            def snapshot_score(g_vars):
+                dfv = per_target_metrics(
+                    sel_sweep, g_vars, xsc, ysc,
+                    mask_fn=lambda b: immutable_complement_mask(
+                        b, xsc.shape[1], cfg.countergan.mask.immutable_idx),
+                    key=jax.random.fold_in(jax.random.key(cfg.seed), 9000),
+                    num_classes=cfg.num_classes,
+                )
+                flips = dfv["class_flip_rate"].to_numpy(dtype=np.float64)
+                return tuple(np.sort(flips)) + (float(np.mean(flips)),)
+
+            selector = SnapshotSelector(
+                bundle, score_fn=snapshot_score,
+                every=cfg.countergan.snapshot_every,
+                total_epochs=cfg.countergan.epochs,
+                x_recal=xtr, recal_key=sel_key,
+            )
         state, history = train_countergan_loop(
             bundle, xtr, ytr,
             epochs=cfg.countergan.epochs,
@@ -84,20 +124,25 @@ def run(cfg=MOONS_COUNTERGAN, out_dir: str | None = None, fresh: bool = False):
             checkpoint_dir=os.path.join(out_dir, "train_state"),
             checkpoint_every=max(1, cfg.countergan.epochs // 4),
             resume=not fresh,  # --fresh means FRESH: ignore old train_state
+            epoch_cb=selector.epoch_cb if selector is not None else None,
         )
-        from cfgan.train.builders import g_serving_variables
+        if selector is not None:
+            g_vars, sel_info = selector.best()
+            print(f"Serving candidate: {sel_info['candidate']} "
+                  f"(ladder of {len(sel_info['ladder'])} scored snapshots)")
+        else:
+            from cfgan.train.builders import g_serving_variables
 
-        # live vars for the (EMA-less) preset; EMA params + recalibrated BN
-        # stats if the config enables ema_decay (make_bn_recalibrator)
-        g_vars = g_serving_variables(
-            bundle, state, xtr,
-            jax.random.fold_in(jax.random.key(cfg.seed), 777),
-        )
-        candidate = ("live" if cfg.countergan.ema_decay == 0.0
-                     else "ema_recal_train")
+            # live vars for the (EMA-less) preset; EMA params +
+            # recalibrated BN stats if the config enables ema_decay
+            # (make_bn_recalibrator)
+            g_vars = g_serving_variables(bundle, state, xtr, sel_key)
+            sel_info = {"candidate": ("live"
+                                      if cfg.countergan.ema_decay == 0.0
+                                      else "ema_recal_train"),
+                        "scores": {}}
         ckpt.save(gen_dir, g_vars,
-                  metadata={"serving_selection": {"candidate": candidate,
-                                                  "scores": {}}})
+                  metadata={"serving_selection": sel_info})
         plot_loss_curves(history, os.path.join(out_dir, "loss_curves.png"))
 
     # ---- stage 3: evaluation (moons/eval_utils.py:227-268) ----

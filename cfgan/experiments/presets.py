@@ -52,6 +52,11 @@ MOONS_COUNTERGAN = MOONS_COUNTERGAN_REFERENCE.replace(
         lambda_cls=3.0,
         lambda_reg_l1=3.0,
         lambda_reg_l2=3.0,
+        # round 5: same epoch-snapshot serving selection as the MNIST and
+        # house defaults (cfgan.train.selection) — already at flip 1.0
+        # end-of-training; the ladder makes that robust to trajectory
+        # placement instead of relying on where epoch 500 lands
+        snapshot_every=50,
     ),
 )
 
