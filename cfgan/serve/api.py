@@ -25,6 +25,18 @@ Endpoints:
   (default 128) -> same response, via the engine's on-device ``lax.scan``
   bulk path (one dispatch per request, dataset-scale throughput).
 
+Binary wire format (production bulk path): every POST endpoint also
+accepts ``Content-Type: application/x-npz`` — the body is an uncompressed
+NumPy ``.npz`` archive whose entries are the same fields as the JSON
+schema (``x``/``target``/``mask`` as arrays; ``chunk``/``seed`` as 0-d
+ints; the list-valued ``patches``/``features`` forms are JSON-only — send
+a dense ``mask``).  The response mirrors the request format (an ``.npz``
+of the result arrays) unless an ``Accept`` header forces the other one.
+JSON float lists cost ~20 bytes/value plus host-side encode on the
+serving core; packed f32 is 4 bytes/value with C-speed encode — at
+dataset scale the NPZ route is serialization-unbound (see
+``tools/api_bulk_bench.py``).
+
 Batched and single-sample inputs both work (a single sample comes back as a
 batch of one, matching `CounterfactualEngine.generate`).  The server binds
 loopback by default; exposing it on all interfaces is an explicit opt-in
@@ -32,6 +44,7 @@ loopback by default; exposing it on all interfaces is an explicit opt-in
 """
 from __future__ import annotations
 
+import io
 import json
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -40,9 +53,46 @@ import numpy as np
 
 from cfgan.serve.engine import CounterfactualEngine
 
+NPZ_CONTENT_TYPE = "application/x-npz"
+#: npz archives are zip files; used as a content-type fallback so generic
+#: ``application/octet-stream`` uploads still route to the binary decoder
+_ZIP_MAGIC = b"PK\x03\x04"
+
 
 class ApiError(ValueError):
     """Client error carried to a 400 response."""
+
+
+def _decode_npz_body(raw: bytes) -> dict:
+    """Decode an ``application/x-npz`` request body into the same dict the
+    JSON path produces: arrays stay arrays (``_as_array``/``np.asarray``
+    accept them downstream), 0-d integer entries (``chunk``/``seed``/a
+    scalar ``target``) become Python ints so the shared validation treats
+    both wire formats identically."""
+    try:
+        with np.load(io.BytesIO(raw), allow_pickle=False) as npz:
+            body = {k: npz[k] for k in npz.files}
+    except Exception as e:
+        raise ApiError(f"invalid npz body: {e}") from e
+    for k, v in body.items():
+        if isinstance(v, np.ndarray) and v.ndim == 0:
+            body[k] = int(v) if v.dtype.kind in "iub" else float(v)
+    return body
+
+
+def _encode_npz_payload(payload: dict) -> bytes:
+    """Pack a handler result (dict of arrays/scalars) as an uncompressed
+    npz — C-speed encode, 4 bytes per f32 vs ~20 for a JSON float."""
+    buf = io.BytesIO()
+    np.savez(buf, **{k: np.asarray(v) for k, v in payload.items()})
+    return buf.getvalue()
+
+
+def _jsonable(payload: dict) -> dict:
+    """Arrays -> lists for the JSON response path (handlers return arrays
+    so the binary path never round-trips through Python lists)."""
+    return {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+            for k, v in payload.items()}
 
 
 def _as_array(obj, name: str) -> np.ndarray:
@@ -128,8 +178,7 @@ def _handle_classify(engine: CounterfactualEngine, body: dict) -> dict:
     x = _as_array(body.get("x"), "x")
     _validate_x(engine, x)
     probs = engine.classify(x)
-    return {"probs": probs.tolist(),
-            "pred": np.argmax(probs, axis=1).tolist()}
+    return {"probs": probs, "pred": np.argmax(probs, axis=1)}
 
 
 def _parse_cf_request(engine: CounterfactualEngine, body: dict):
@@ -163,14 +212,16 @@ def _parse_cf_request(engine: CounterfactualEngine, body: dict):
 
 
 def _cf_payload(res) -> dict:
+    # arrays, not lists: the wire encoder (_jsonable / _encode_npz_payload)
+    # owns the format so the binary path never materializes Python lists
     return {
-        "x_cf": res.x_cf.tolist(),
-        "residual": res.residual.tolist(),
-        "pred": res.pred.tolist(),
-        "confidence": res.confidence.tolist(),
-        "probs": res.probs.tolist(),
-        "probs_orig": res.probs_orig.tolist(),
-        "flipped": res.flipped.tolist(),
+        "x_cf": res.x_cf,
+        "residual": res.residual,
+        "pred": res.pred,
+        "confidence": res.confidence,
+        "probs": res.probs,
+        "probs_orig": res.probs_orig,
+        "flipped": res.flipped,
     }
 
 
@@ -262,10 +313,15 @@ class CFRequestHandler(BaseHTTPRequestHandler):
         if getattr(self.server, "verbose", False):
             super().log_message(fmt, *args)
 
-    def _send(self, code: int, payload: dict):
-        data = json.dumps(payload).encode()
+    def _send(self, code: int, payload: dict, binary: bool = False):
+        if binary and code == 200:
+            data = _encode_npz_payload(payload)
+            ctype = NPZ_CONTENT_TYPE
+        else:  # errors are always JSON (human-readable)
+            data = json.dumps(_jsonable(payload)).encode()
+            ctype = "application/json"
         self.send_response(code)
-        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(data)))
         self.end_headers()
         self.wfile.write(data)
@@ -292,12 +348,24 @@ class CFRequestHandler(BaseHTTPRequestHandler):
         if handler is None:
             return self._send(404, {"error": f"unknown path {self.path}"})
         t0 = time.perf_counter()
-        samples, ok = 0, False
+        samples, ok, binary_out = 0, False, False
         try:
             length = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(length) or b"{}")
-            if not isinstance(body, dict):
-                raise ApiError("request body must be a JSON object")
+            raw = self.rfile.read(length)
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+            binary_in = (ctype == NPZ_CONTENT_TYPE
+                         or (ctype in ("", "application/octet-stream")
+                             and raw[:4] == _ZIP_MAGIC))
+            accept = self.headers.get("Accept", "") or ""
+            # response mirrors the request format unless Accept forces one
+            binary_out = (NPZ_CONTENT_TYPE in accept
+                          or (binary_in and "application/json" not in accept))
+            if binary_in:
+                body = _decode_npz_body(raw)
+            else:
+                body = json.loads(raw or b"{}")
+                if not isinstance(body, dict):
+                    raise ApiError("request body must be a JSON object")
             payload = handler(self.server.engine, body)
             samples = len(payload.get("pred", payload.get("probs", [])))
             ok = True
@@ -311,7 +379,7 @@ class CFRequestHandler(BaseHTTPRequestHandler):
         # (recording after _send races exactly that read pattern)
         self.server.stats.record(self.path, time.perf_counter() - t0,
                                  samples, ok)
-        self._send(*out)
+        self._send(*out, binary=binary_out)
 
 
 def make_server(engine: CounterfactualEngine, host: str = "127.0.0.1",

@@ -393,3 +393,119 @@ def test_api_over_sharded_engine(moons_data):
         assert body["pred"] == ref.pred.tolist()
     finally:
         server.shutdown()
+
+
+# --- binary (npz) wire format -------------------------------------------
+
+def _post_raw(base, path, data, headers):
+    req = urllib.request.Request(base + path, data=data, headers=headers,
+                                 method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, r.headers.get("Content-Type", ""), r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type", ""), e.read()
+
+
+def _npz_bytes(**arrays):
+    import io
+
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def _npz_load(raw):
+    import io
+
+    with np.load(io.BytesIO(raw), allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+def test_npz_counterfactual_roundtrip(api):
+    """application/x-npz in -> application/x-npz out; values match both
+    the engine and the JSON route bit-for-bit (same request, same seed)."""
+    engine, base, xte = api
+    x = np.asarray(xte[:4], np.float32)
+    raw = _npz_bytes(x=x, target=np.int32(2), seed=np.int64(0))
+    status, ctype, out = _post_raw(
+        base, "/counterfactual", raw,
+        {"Content-Type": "application/x-npz"})
+    assert status == 200 and ctype == "application/x-npz"
+    body = _npz_load(out)
+    ref = engine.generate(x, target=2)
+    np.testing.assert_allclose(body["x_cf"], ref.x_cf, rtol=1e-5)
+    np.testing.assert_array_equal(body["pred"], ref.pred)
+    np.testing.assert_array_equal(body["flipped"], ref.flipped)
+    # identical values to the JSON route (shared handler, shared seed)
+    _, jbody = _post(base, "/counterfactual",
+                     {"x": x.tolist(), "target": 2})
+    np.testing.assert_allclose(body["x_cf"], np.asarray(jbody["x_cf"]),
+                               atol=0)
+
+
+def test_npz_bulk_with_scalars_and_mask(api):
+    """0-d npz entries (chunk/seed/scalar target) hit the same validation
+    as JSON ints; dense masks ride as arrays."""
+    engine, base, xte = api
+    x = np.asarray(xte[:10], np.float32)
+    raw = _npz_bytes(x=x, target=np.int64(1), chunk=np.int32(4),
+                     mask=np.zeros(2, np.float32))
+    status, ctype, out = _post_raw(
+        base, "/counterfactual_bulk", raw,
+        {"Content-Type": "application/x-npz"})
+    assert status == 200 and ctype == "application/x-npz"
+    body = _npz_load(out)
+    # zero mask => identity counterfactuals through the bulk scan path
+    np.testing.assert_allclose(body["x_cf"], x, atol=1e-7)
+
+
+def test_npz_accept_negotiation(api):
+    """Accept headers override the mirror-the-request default in both
+    directions: npz-in + Accept json -> JSON; json-in + Accept npz -> npz."""
+    engine, base, xte = api
+    x = np.asarray(xte[:2], np.float32)
+    raw = _npz_bytes(x=x, target=np.int32(1))
+    status, ctype, out = _post_raw(
+        base, "/counterfactual", raw,
+        {"Content-Type": "application/x-npz", "Accept": "application/json"})
+    assert status == 200 and ctype == "application/json"
+    jbody = json.loads(out)
+    assert np.asarray(jbody["x_cf"]).shape == (2, 2)
+    status, ctype, out = _post_raw(
+        base, "/classify", json.dumps({"x": x.tolist()}).encode(),
+        {"Content-Type": "application/json", "Accept": "application/x-npz"})
+    assert status == 200 and ctype == "application/x-npz"
+    body = _npz_load(out)
+    np.testing.assert_allclose(body["probs"], engine.classify(x), rtol=1e-5)
+
+
+def test_npz_octet_stream_magic_sniffing(api):
+    """A generic octet-stream upload whose body is a zip (npz) routes to
+    the binary decoder via magic-byte sniffing."""
+    _, base, xte = api
+    x = np.asarray(xte[:2], np.float32)
+    raw = _npz_bytes(x=x, target=np.int32(1))
+    status, ctype, out = _post_raw(
+        base, "/counterfactual", raw,
+        {"Content-Type": "application/octet-stream"})
+    assert status == 200 and ctype == "application/x-npz"
+    assert _npz_load(out)["x_cf"].shape == (2, 2)
+
+
+def test_npz_errors_are_json_400(api):
+    """Malformed npz bodies and validation failures come back as
+    human-readable JSON 400s, never binary."""
+    _, base, xte = api
+    status, ctype, out = _post_raw(
+        base, "/counterfactual", b"PK\x03\x04garbage",
+        {"Content-Type": "application/x-npz"})
+    assert status == 400 and ctype == "application/json"
+    assert "invalid npz body" in json.loads(out)["error"]
+    # valid npz, missing target -> shared validation message
+    raw = _npz_bytes(x=np.asarray(xte[:2], np.float32))
+    status, ctype, out = _post_raw(
+        base, "/counterfactual", raw,
+        {"Content-Type": "application/x-npz"})
+    assert status == 400 and ctype == "application/json"
+    assert "missing required field 'target'" in json.loads(out)["error"]

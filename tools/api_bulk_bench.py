@@ -33,6 +33,25 @@ def _post(base, path, body):
         return json.loads(r.read())
 
 
+def _post_npz(base, path, arrays):
+    """Binary wire format: packed-f32 npz request/response (4 bytes/value
+    + C-speed encode vs ~20 bytes/value JSON; serve/api.py docstring)."""
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    req = urllib.request.Request(
+        base + path, data=buf.getvalue(),
+        headers={"Content-Type": "application/x-npz"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        raw = r.read()
+    with np.load(io.BytesIO(raw), allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--results", default="results/house_countergan")
@@ -64,9 +83,9 @@ def main():
     rows = []
     for n in [int(s) for s in args.sizes.split(",")]:
         idx = rng.randint(0, len(xte), n)
-        x = np.asarray(xte)[idx].tolist()
-        t = ((np.asarray(yte)[idx] + 1) % engine.num_classes).tolist()
-        body = {"x": x, "target": t, "chunk": args.chunk}
+        xa = np.asarray(xte, np.float32)[idx]
+        ta = ((np.asarray(yte)[idx] + 1) % engine.num_classes).astype(np.int32)
+        body = {"x": xa.tolist(), "target": ta.tolist(), "chunk": args.chunk}
         _post(base, "/counterfactual_bulk", body)  # warm (compile)
         t0 = time.perf_counter()
         for _ in range(args.reps):
@@ -76,6 +95,19 @@ def main():
         row = {"route": "/counterfactual_bulk", "n": n, "chunk": args.chunk,
                "wall_ms": round(dt * 1e3, 1),
                "cf_per_sec_wire": round(n / dt), "flip": round(flip, 4)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+        # same request over the binary wire format
+        npz_body = {"x": xa, "target": ta, "chunk": np.int32(args.chunk)}
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = _post_npz(base, "/counterfactual_bulk", npz_body)
+        dt = (time.perf_counter() - t0) / args.reps
+        row = {"route": "/counterfactual_bulk (npz)", "n": n,
+               "chunk": args.chunk, "wall_ms": round(dt * 1e3, 1),
+               "cf_per_sec_wire": round(n / dt),
+               "flip": round(float(np.mean(out["flipped"])), 4)}
         rows.append(row)
         print(json.dumps(row), flush=True)
 
@@ -101,8 +133,9 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     payload = {"backend": jax.default_backend(),
                "results_dir": args.results, "rows": rows,
-               "note": "loopback HTTP incl. JSON encode/decode; "
-                       "1-core host — serialization shares the core"}
+               "note": "loopback HTTP incl. wire encode/decode (JSON and "
+                       "packed-f32 npz rows); 1-core host — serialization "
+                       "shares the core"}
     with open(os.path.join(args.out, "api_bulk.json"), "w") as f:
         json.dump(payload, f, indent=1)
     server.shutdown()
