@@ -509,3 +509,71 @@ def test_npz_errors_are_json_400(api):
         {"Content-Type": "application/x-npz"})
     assert status == 400 and ctype == "application/json"
     assert "missing required field 'target'" in json.loads(out)["error"]
+
+
+# --- CFClient (cfgan.serve.client) ---------------------------------------
+
+def test_client_counterfactual_matches_engine(api):
+    """npz-wire client result == in-process engine result, as a CFResult."""
+    from cfgan.serve.client import CFClient
+
+    engine, base, xte = api
+    x = np.asarray(xte[:4], np.float32)
+    res = CFClient(base).counterfactual(x, target=2)
+    ref = engine.generate(x, target=2)
+    np.testing.assert_allclose(res.x_cf, ref.x_cf, rtol=1e-5)
+    np.testing.assert_array_equal(res.pred, ref.pred)
+    np.testing.assert_array_equal(res.flipped, ref.flipped)
+    assert res.probs.shape == (4, 3) and res.flipped.dtype == bool
+
+
+def test_client_wire_formats_agree(api):
+    """json-wire and npz-wire clients produce identical values (shared
+    handler, shared default seed)."""
+    from cfgan.serve.client import CFClient
+
+    _, base, xte = api
+    x = np.asarray(xte[:3], np.float32)
+    a = CFClient(base, wire="npz").counterfactual_bulk(x, target=1, chunk=2)
+    b = CFClient(base, wire="json").counterfactual_bulk(x, target=1, chunk=2)
+    np.testing.assert_allclose(a.x_cf, b.x_cf, atol=1e-6)
+    np.testing.assert_array_equal(a.pred, b.pred)
+
+
+def test_client_classify_health_stats(api):
+    from cfgan.serve.client import CFClient
+
+    engine, base, xte = api
+    c = CFClient(base)
+    probs, pred = c.classify(np.asarray(xte[:5], np.float32))
+    np.testing.assert_allclose(probs, engine.classify(xte[:5]), rtol=1e-5)
+    np.testing.assert_array_equal(pred, np.argmax(probs, axis=1))
+    assert c.health()["num_classes"] == 3
+    assert "/classify" in c.stats()["endpoints"]
+
+
+def test_client_errors_raise_with_status(api):
+    from cfgan.serve.client import CFApiError, CFClient
+
+    _, base, xte = api
+    c = CFClient(base)
+    with pytest.raises(CFApiError) as ei:
+        c.counterfactual(np.asarray(xte[:2], np.float32), target=99)
+    assert ei.value.status == 400 and "'target'" in ei.value.message
+    with pytest.raises(ValueError, match="at most one"):
+        c.counterfactual(xte[:2], target=1, mask=[0.0, 0.0],
+                         features=["a"])
+
+
+def test_client_patches_falls_back_to_json(image_api):
+    """patches is a JSON-only field: the npz-wire client transparently
+    sends that request as JSON and the patch mask is honored."""
+    from cfgan.serve.client import CFClient
+
+    base, H, W = image_api
+    x = np.zeros((2, H, W, 1), np.float32)
+    res = CFClient(base, wire="npz").counterfactual(x, target=1, patches=[0])
+    # only patch 0 (top-left 7x7) may change
+    assert np.abs(res.residual[:, 7:, :, :]).max() == 0.0
+    assert np.abs(res.residual[:, :, 7:, :]).max() == 0.0
+    assert np.abs(res.residual[:, :7, :7, :]).max() > 0.0
