@@ -3,10 +3,12 @@
 Serves the committed house checkpoint (the snapshot-selected production
 generator, `cfgan.serve.launch.setup_house`) behind the stdlib API server
 on loopback and measures end-to-end `/counterfactual_bulk` throughput —
-JSON decode + engine scan + JSON encode + HTTP — against per-request
-`/counterfactual` at the same total sample count.  This is the number a
-deployment actually sees, complementing the on-chip engine numbers in
-BASELINE.md ("Serving latency": 128.8k cf/s at the device boundary).
+wire decode + engine scan + wire encode + HTTP — against per-request
+`/counterfactual` at the same total sample count, on both wire formats
+(JSON and packed-f32 npz) via `cfgan.serve.client.CFClient`.  This is the
+number a deployment actually sees, complementing the on-chip engine
+numbers in BASELINE.md ("Serving latency": 128.8k cf/s at the device
+boundary).
 
 Usage: python tools/api_bulk_bench.py [--results results/house_countergan]
        [--sizes 512,2048,8192] [--chunk 512] [--out results/api_bulk]
@@ -19,37 +21,8 @@ import os
 import sys
 import threading
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def _post(base, path, body):
-    req = urllib.request.Request(
-        base + path, data=json.dumps(body).encode(),
-        headers={"Content-Type": "application/json"}, method="POST",
-    )
-    with urllib.request.urlopen(req, timeout=600) as r:
-        return json.loads(r.read())
-
-
-def _post_npz(base, path, arrays):
-    """Binary wire format: packed-f32 npz request/response (4 bytes/value
-    + C-speed encode vs ~20 bytes/value JSON; serve/api.py docstring)."""
-    import io
-
-    import numpy as np
-
-    buf = io.BytesIO()
-    np.savez(buf, **arrays)
-    req = urllib.request.Request(
-        base + path, data=buf.getvalue(),
-        headers={"Content-Type": "application/x-npz"}, method="POST",
-    )
-    with urllib.request.urlopen(req, timeout=600) as r:
-        raw = r.read()
-    with np.load(io.BytesIO(raw), allow_pickle=False) as z:
-        return {k: z[k] for k in z.files}
 
 
 def main():
@@ -72,12 +45,15 @@ def main():
     import numpy as np
 
     from cfgan.serve.api import make_server
+    from cfgan.serve.client import CFClient
     from cfgan.serve.launch import setup_house
 
     engine, xte, yte, schema, stats, bins = setup_house(args.results)
     server = make_server(engine, port=0)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{server.server_address[1]}"
+    clients = {"json": CFClient(base, wire="json"),
+               "npz": CFClient(base, wire="npz")}
 
     rng = np.random.RandomState(0)
     rows = []
@@ -85,44 +61,32 @@ def main():
         idx = rng.randint(0, len(xte), n)
         xa = np.asarray(xte, np.float32)[idx]
         ta = ((np.asarray(yte)[idx] + 1) % engine.num_classes).astype(np.int32)
-        body = {"x": xa.tolist(), "target": ta.tolist(), "chunk": args.chunk}
-        _post(base, "/counterfactual_bulk", body)  # warm (compile)
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            out = _post(base, "/counterfactual_bulk", body)
-        dt = (time.perf_counter() - t0) / args.reps
-        flip = float(np.mean(out["flipped"]))
-        row = {"route": "/counterfactual_bulk", "n": n, "chunk": args.chunk,
-               "wall_ms": round(dt * 1e3, 1),
-               "cf_per_sec_wire": round(n / dt), "flip": round(flip, 4)}
-        rows.append(row)
-        print(json.dumps(row), flush=True)
-
-        # same request over the binary wire format
-        npz_body = {"x": xa, "target": ta, "chunk": np.int32(args.chunk)}
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            out = _post_npz(base, "/counterfactual_bulk", npz_body)
-        dt = (time.perf_counter() - t0) / args.reps
-        row = {"route": "/counterfactual_bulk (npz)", "n": n,
-               "chunk": args.chunk, "wall_ms": round(dt * 1e3, 1),
-               "cf_per_sec_wire": round(n / dt),
-               "flip": round(float(np.mean(out["flipped"])), 4)}
-        rows.append(row)
-        print(json.dumps(row), flush=True)
+        clients["json"].counterfactual_bulk(
+            xa, ta, chunk=args.chunk)  # warm (compile)
+        for wire, client in clients.items():
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                out = client.counterfactual_bulk(xa, ta, chunk=args.chunk)
+            dt = (time.perf_counter() - t0) / args.reps
+            suffix = "" if wire == "json" else f" ({wire})"
+            row = {"route": f"/counterfactual_bulk{suffix}", "n": n,
+                   "chunk": args.chunk, "wall_ms": round(dt * 1e3, 1),
+                   "cf_per_sec_wire": round(n / dt),
+                   "flip": round(float(np.mean(out.flipped)), 4)}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
 
     # per-request contrast at the largest size, one engine batch per call
     n = max(int(s) for s in args.sizes.split(","))
     idx = rng.randint(0, len(xte), n)
-    x = np.asarray(xte)[idx]
-    t = (np.asarray(yte)[idx] + 1) % engine.num_classes
+    x = np.asarray(xte, np.float32)[idx]
+    t = ((np.asarray(yte)[idx] + 1) % engine.num_classes).astype(np.int32)
     b = args.chunk
-    bodies = [{"x": x[i:i + b].tolist(), "target": t[i:i + b].tolist()}
-              for i in range(0, n, b)]
-    _post(base, "/counterfactual", bodies[0])  # warm
+    chunks = [(x[i:i + b], t[i:i + b]) for i in range(0, n, b)]
+    clients["json"].counterfactual(*chunks[0])  # warm
     t0 = time.perf_counter()
-    for body in bodies:
-        _post(base, "/counterfactual", body)
+    for xc, tc in chunks:
+        clients["json"].counterfactual(xc, tc)
     dt = time.perf_counter() - t0
     row = {"route": "/counterfactual (per-chunk requests)", "n": n,
            "chunk": b, "wall_ms": round(dt * 1e3, 1),
