@@ -308,6 +308,13 @@ class ApiStats:
 class CFRequestHandler(BaseHTTPRequestHandler):
     """Routes requests to the engine attached to the server."""
 
+    # HTTP/1.1 => persistent connections (every response already carries
+    # Content-Length, the precondition for keep-alive).  Interactive
+    # clients then pay the TCP handshake once per session instead of once
+    # per request — `cfgan.serve.CFClient` holds one connection per
+    # thread.  HTTP/1.0 clients (plain urllib) are still served per spec.
+    protocol_version = "HTTP/1.1"
+
     # quiet by default; the server object can flip this on
     def log_message(self, fmt, *args):  # noqa: D102
         if getattr(self.server, "verbose", False):

@@ -13,8 +13,13 @@ speaks both wire formats of `cfgan.serve.api`:
   to JSON (the response schema is identical either way).
 - ``wire="json"``: plain JSON in/out, for debugging or non-numpy peers.
 
-Zero dependencies beyond numpy + the stdlib (urllib), mirroring the
-server's stdlib-only design.  Responses come back as the same `CFResult`
+Zero dependencies beyond numpy + the stdlib (http.client), mirroring the
+server's stdlib-only design.  The client keeps one persistent HTTP/1.1
+(keep-alive) connection per thread — interactive per-request callers pay
+the TCP handshake once per session, not once per request — and silently
+reconnects once if the kept-alive socket died between calls (safe: every
+request is a pure function of its body).  Responses come back as the same
+`CFResult`
 the in-process `CounterfactualEngine` returns, so swapping local for
 remote serving is a one-line change::
 
@@ -27,10 +32,11 @@ server's human-readable message (errors are always JSON on the wire).
 """
 from __future__ import annotations
 
+import http.client
 import io
 import json
-import urllib.error
-import urllib.request
+import threading
+import urllib.parse
 
 import numpy as np
 
@@ -76,26 +82,72 @@ class CFClient:
         self.base_url = base_url.rstrip("/")
         self.wire = wire
         self.timeout = timeout
+        parts = urllib.parse.urlsplit(self.base_url)
+        if parts.scheme not in ("http", "https") or not parts.hostname:
+            raise ValueError(f"base_url must be http(s)://host[:port], "
+                             f"got {base_url!r}")
+        self._conn_cls = (http.client.HTTPSConnection
+                          if parts.scheme == "https"
+                          else http.client.HTTPConnection)
+        self._host, self._port = parts.hostname, parts.port
+        self._path_prefix = parts.path.rstrip("/")
+        # one persistent (keep-alive) connection per thread — the server
+        # speaks HTTP/1.1, so interactive callers pay the TCP handshake
+        # once per session, not once per request
+        self._local = threading.local()
 
     # -- transport ---------------------------------------------------
 
-    def _request(self, req: urllib.request.Request) -> dict:
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                ctype = (r.headers.get("Content-Type") or "").split(";")[0]
-                raw = r.read()
-        except urllib.error.HTTPError as e:
+    def _conn(self) -> http.client.HTTPConnection:
+        conn = getattr(self._local, "conn", None)
+        if conn is None:
+            conn = self._conn_cls(self._host, self._port,
+                                  timeout=self.timeout)
+            self._local.conn = conn
+        return conn
+
+    def close(self) -> None:
+        """Close this thread's persistent connection (optional hygiene;
+        connections re-open transparently on the next call)."""
+        conn = getattr(self._local, "conn", None)
+        if conn is not None:
+            conn.close()
+            self._local.conn = None
+
+    def _request(self, method: str, path: str, data: bytes | None = None,
+                 ctype: str | None = None) -> dict:
+        headers = {"Content-Type": ctype} if ctype else {}
+        # one silent retry on a dead kept-alive socket (server restarted or
+        # idle-closed between calls); requests are pure so a re-send is safe
+        for attempt in (0, 1):
+            conn = self._conn()
             try:
-                message = json.loads(e.read()).get("error", "")
+                conn.request(method, self._path_prefix + path, body=data,
+                             headers=headers)
+                resp = conn.getresponse()
+                raw = resp.read()
+                break
+            except TimeoutError:
+                self.close()
+                raise
+            except (http.client.HTTPException, OSError):
+                self.close()
+                if attempt:
+                    raise
+        status = resp.status
+        resp_ctype = (resp.headers.get("Content-Type") or "").split(";")[0]
+        if not 200 <= status < 300:
+            try:
+                message = json.loads(raw).get("error", "")
             except Exception:
                 message = ""
-            raise CFApiError(e.code, message) from None
-        if ctype == NPZ_CONTENT_TYPE:
+            raise CFApiError(status, message)
+        if resp_ctype == NPZ_CONTENT_TYPE:
             return _decode_npz(raw)
         return json.loads(raw)
 
     def _get(self, path: str) -> dict:
-        return self._request(urllib.request.Request(self.base_url + path))
+        return self._request("GET", path)
 
     def _post(self, path: str, body: dict) -> dict:
         # list-valued mask forms are JSON-only on the wire (api docstring)
@@ -107,11 +159,7 @@ class CFClient:
                 {k: (v.tolist() if isinstance(v, np.ndarray) else v)
                  for k, v in body.items()}).encode()
             ctype = "application/json"
-        req = urllib.request.Request(
-            self.base_url + path, data=data, method="POST",
-            headers={"Content-Type": ctype},
-        )
-        return self._request(req)
+        return self._request("POST", path, data, ctype)
 
     # -- request assembly ---------------------------------------------
 

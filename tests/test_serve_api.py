@@ -577,3 +577,34 @@ def test_client_patches_falls_back_to_json(image_api):
     assert np.abs(res.residual[:, 7:, :, :]).max() == 0.0
     assert np.abs(res.residual[:, :, 7:, :]).max() == 0.0
     assert np.abs(res.residual[:, :7, :7, :]).max() > 0.0
+
+
+def test_client_keepalive_reuses_connection(api):
+    """The server speaks HTTP/1.1 and the client holds one persistent
+    connection per thread: sequential requests ride the same socket."""
+    from cfgan.serve.client import CFClient
+
+    _, base, xte = api
+    c = CFClient(base)
+    c.health()
+    conn = c._local.conn
+    sock = conn.sock
+    assert sock is not None  # still open after the response (keep-alive)
+    c.classify(np.asarray(xte[:2], np.float32))
+    c.counterfactual(np.asarray(xte[:2], np.float32), target=1)
+    assert c._local.conn is conn and conn.sock is sock
+    c.close()
+    assert c._local.conn is None
+
+
+def test_client_reconnects_on_dead_socket(api):
+    """A kept-alive socket that died between calls is re-opened
+    transparently (one silent retry; requests are pure)."""
+    from cfgan.serve.client import CFClient
+
+    _, base, xte = api
+    c = CFClient(base)
+    assert c.health()["status"] == "ok"
+    c._local.conn.sock.close()  # simulate server-side idle close
+    probs, pred = c.classify(np.asarray(xte[:2], np.float32))
+    assert probs.shape == (2, 3) and pred.shape == (2,)
